@@ -1,0 +1,101 @@
+"""On-the-fly S-speaker mixing with speaker-disjoint splits.
+
+Capability parity: the reference's Mixer (select_split / shuffle / get_batch —
+SURVEY.md §2.1, §3.1).  TPU-first differences:
+
+  * The host only GATHERS per-speaker source chunks; the mixture is summed on
+    device inside the jit step (BASELINE.json:5 "device-side mixing").
+  * Iteration is stateless-deterministic: batch ``i`` of epoch ``e`` is a pure
+    function of (seed, split, e, i), so a preempted job resumes exactly by
+    replaying the step counter (SURVEY.md §5.3) — no RNG state to checkpoint.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from amss_tpu.data.store import SpeakerStore
+
+_SPLITS = ("train", "valid", "test")
+
+
+@dataclass
+class Batch:
+    """Host-side batch; `.sources` is summed on device to form the mixture."""
+
+    sources: np.ndarray  # [B, S, T] float32
+    speaker_ids: np.ndarray  # [B, S] int32 — global speaker indices
+    gains: np.ndarray  # [B, S] float32 linear gains already applied
+
+
+class Mixer:
+    """Sample S distinct same-split speakers, random chunks, random gains."""
+
+    def __init__(
+        self,
+        store: SpeakerStore,
+        nb_speakers: int = 2,
+        chunk_samples: int = 32000,
+        split_fractions: tuple[float, float, float] = (0.7, 0.15, 0.15),
+        gain_db_range: tuple[float, float] = (-2.5, 2.5),
+        seed: int = 0,
+    ):
+        self.store = store
+        self.s = nb_speakers
+        self.t = chunk_samples
+        self.gain_db = gain_db_range
+        self.seed = seed
+
+        # Speaker-disjoint splits: partition the (shuffled) global speaker list.
+        spk = list(store.speakers)
+        rng = np.random.default_rng(seed)
+        rng.shuffle(spk)
+        n = len(spk)
+        n_tr = max(int(n * split_fractions[0]), nb_speakers)
+        n_va = max(int(n * split_fractions[1]), nb_speakers)
+        if n_tr + n_va + nb_speakers > n:
+            raise ValueError(
+                f"{n} speakers cannot give disjoint splits with S={nb_speakers}"
+            )
+        self.split_speakers = {
+            "train": spk[:n_tr],
+            "valid": spk[n_tr : n_tr + n_va],
+            "test": spk[n_tr + n_va :],
+        }
+        self.global_index = {s: i for i, s in enumerate(store.speakers)}
+
+    def n_train_speakers(self) -> int:
+        return len(self.split_speakers["train"])
+
+    def batch(self, split: str, step: int, batch_size: int) -> Batch:
+        """Deterministic batch: pure function of (seed, split, step)."""
+        assert split in _SPLITS
+        rng = np.random.default_rng(
+            np.random.SeedSequence([self.seed, _SPLITS.index(split), step])
+        )
+        speakers = self.split_speakers[split]
+        sources = np.empty((batch_size, self.s, self.t), np.float32)
+        ids = np.empty((batch_size, self.s), np.int32)
+        lo, hi = self.gain_db
+        gains_db = rng.uniform(lo, hi, size=(batch_size, self.s))
+        gains = (10.0 ** (gains_db / 20.0)).astype(np.float32)
+        for b in range(batch_size):
+            chosen = rng.choice(len(speakers), size=self.s, replace=False)
+            for j, c in enumerate(chosen):
+                spk = speakers[c]
+                wave = self.store.waveform(spk)
+                start = rng.integers(0, max(len(wave) - self.t, 1))
+                chunk = np.asarray(wave[start : start + self.t], np.float32)
+                if len(chunk) < self.t:  # short shard: tile
+                    chunk = np.resize(chunk, self.t)
+                sources[b, j] = gains[b, j] * chunk
+                ids[b, j] = self.global_index[spk]
+        return Batch(sources=sources, speaker_ids=ids, gains=gains)
+
+    def epoch(self, split: str, steps: int, batch_size: int, epoch: int = 0):
+        """Yield `steps` deterministic batches for this epoch."""
+        base = epoch * steps
+        for i in range(steps):
+            yield self.batch(split, base + i, batch_size)

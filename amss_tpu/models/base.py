@@ -1,0 +1,89 @@
+"""Shared separator machinery: trunk (norm + BLSTM), targets, mask apply.
+
+Capability parity: the reference's shared separator base class — input
+normalization, BLSTM stack builder, per-bin dense projection (SURVEY.md §2.3
+row 1).  Everything here is pure-functional over dict param pytrees with the
+canonical top-level split {"front": ..., "separator": ...} that partial
+restore keys on (SURVEY.md §5.4).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from amss_tpu.models.blstm import init_blstm_stack, blstm_stack, _init_dense, dense
+from amss_tpu.models.front import (
+    make_front,
+    ideal_binary_mask,
+    vad_weights,
+    instance_norm,
+)
+from amss_tpu.utils.config import ModelConfig
+
+_EPS = 1e-8
+
+
+class SeparatorBase:
+    """Front + BLSTM trunk; subclasses add heads and losses."""
+
+    def __init__(self, cfg: ModelConfig):
+        self.cfg = cfg
+        self.front = make_front(cfg.front)
+
+    # -- params -------------------------------------------------------------
+    def init_trunk(self, key) -> dict:
+        c = self.cfg
+        return {
+            "blstm": init_blstm_stack(
+                key, c.front.feature_dim, c.sep.hidden, c.sep.layers
+            )
+        }
+
+    def _compute_dtype(self):
+        return jnp.bfloat16 if self.cfg.sep.compute_dtype == "bfloat16" else jnp.float32
+
+    def trunk(
+        self,
+        sep_params: dict,
+        feats: jnp.ndarray,  # [B, T', F] log-compressed
+        frame_mask: jnp.ndarray | None = None,  # [B, T']
+    ) -> jnp.ndarray:
+        h = instance_norm(feats, frame_mask)
+        return blstm_stack(
+            sep_params["blstm"],
+            h,
+            mask=frame_mask,
+            compute_dtype=self._compute_dtype(),
+            remat=self.cfg.sep.remat,
+        )  # [B, T', 2H]
+
+    # -- shared pipeline pieces ----------------------------------------------
+    def encode_mix_and_sources(self, params: dict, sources: jnp.ndarray):
+        """Device-side mixing + analysis of mixture and sources.
+
+        sources: [B, S, T].  Returns (mix [B,T], mix codes, aux, Y, weights).
+        The mixture is formed ON DEVICE (BASELINE.json:5): the host ships only
+        per-speaker chunks.
+        """
+        mix = jnp.sum(sources, axis=1)
+        codes, aux = self.front.encode(params["front"], mix)
+        src_codes, _ = self.front.encode(params["front"], sources)
+        y = ideal_binary_mask(src_codes)  # [B, T', F, S]
+        w = vad_weights(codes, self.cfg.vad_threshold_db)  # [B, T', F]
+        return mix, codes, aux, y, w
+
+    def apply_masks_and_decode(
+        self,
+        params: dict,
+        codes: jnp.ndarray,  # [B, T', F]
+        aux: dict,
+        masks: jnp.ndarray,  # [B, T', F, S]
+        length: int,
+    ) -> jnp.ndarray:
+        """masked codes per speaker -> waveforms [B, S, T]."""
+        masked = jnp.moveaxis(codes[..., None] * masks, -1, 1)  # [B, S, T', F]
+        aux_b = {
+            k: (v[:, None] if isinstance(v, jnp.ndarray) else v) for k, v in aux.items()
+        }
+        return self.front.decode(params["front"], masked, aux_b, length)

@@ -1,0 +1,156 @@
+"""Bidirectional LSTM as XLA `lax.scan`, tuned for the MXU.
+
+Capability parity: the reference's tf.nn.bidirectional_dynamic_rnn + LSTMCell
+stack (SURVEY.md §2.3, §2.8 item 5).  TPU-first design (SURVEY.md §7 hard
+parts):
+
+  * The input projection ``x @ Wx`` for ALL timesteps is hoisted OUT of the
+    scan into one big ``[B*T, 4H]`` matmul — the MXU sees a large batched GEMM
+    instead of T tiny ones.  The scan body does only the ``h @ Wh`` recurrent
+    matmul plus fused elementwise gates.
+  * All four gates live in one fused ``[*, 4H]`` tensor (single matmul, single
+    bias add, one slice per gate).
+  * Bidirectionality = the same scan on the time-reversed input; both
+    directions share code and the reverse is a `jnp.flip` (layout op).
+  * Variable length: a ``[B, T]`` mask freezes the carried (h, c) at padded
+    steps and zeroes outputs, so bucketed batches of mixed lengths are exact.
+  * Optional `jax.checkpoint` per layer: activations for the backward pass are
+    rematerialized, halving HBM residency for deep stacks.
+  * Compute dtype is configurable (bf16 matmuls with f32 cell state is the
+    intended TPU mode).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _init_dense(key, n_in: int, n_out: int, scale: float | None = None):
+    if scale is None:
+        scale = 1.0 / jnp.sqrt(n_in)
+    return {
+        "w": jax.random.uniform(key, (n_in, n_out), jnp.float32, -scale, scale),
+        "b": jnp.zeros((n_out,), jnp.float32),
+    }
+
+
+def dense(params, x, compute_dtype=jnp.float32):
+    w = params["w"].astype(compute_dtype)
+    y = jnp.matmul(x.astype(compute_dtype), w, preferred_element_type=jnp.float32)
+    return y + params["b"]
+
+
+def init_lstm_layer(key, n_in: int, hidden: int) -> dict:
+    kx, kh = jax.random.split(key)
+    scale = 1.0 / jnp.sqrt(hidden)
+    p = {
+        "wx": jax.random.uniform(kx, (n_in, 4 * hidden), jnp.float32, -scale, scale),
+        "wh": jax.random.uniform(kh, (hidden, 4 * hidden), jnp.float32, -scale, scale),
+        "b": jnp.zeros((4 * hidden,), jnp.float32),
+    }
+    # Forget-gate bias 1.0: standard stabilizer for speech-length sequences.
+    p["b"] = p["b"].at[hidden : 2 * hidden].set(1.0)
+    return p
+
+
+def _lstm_scan(
+    params: dict,
+    x: jnp.ndarray,  # [B, T, In]
+    mask: jnp.ndarray | None,  # [B, T] or None
+    reverse: bool,
+    compute_dtype=jnp.float32,
+) -> jnp.ndarray:
+    b, t, _ = x.shape
+    h4 = params["wh"].shape[1]
+    hidden = h4 // 4
+
+    if reverse:
+        x = jnp.flip(x, axis=1)
+        if mask is not None:
+            mask = jnp.flip(mask, axis=1)
+
+    # Hoisted input projection: one [B*T, 4H] MXU matmul.
+    wx = params["wx"].astype(compute_dtype)
+    xproj = jnp.matmul(
+        x.astype(compute_dtype), wx, preferred_element_type=jnp.float32
+    ) + params["b"]
+    xproj_t = jnp.swapaxes(xproj, 0, 1)  # time-major [T, B, 4H]
+    mask_t = (
+        jnp.swapaxes(mask, 0, 1)[..., None] if mask is not None else None
+    )  # [T, B, 1]
+
+    wh = params["wh"].astype(compute_dtype)
+
+    def step(carry, inputs):
+        h, c = carry
+        if mask_t is None:
+            gates_in = inputs
+            m = None
+        else:
+            gates_in, m = inputs
+        gates = gates_in + jnp.matmul(
+            h.astype(compute_dtype), wh, preferred_element_type=jnp.float32
+        )
+        i = jax.nn.sigmoid(gates[:, :hidden])
+        f = jax.nn.sigmoid(gates[:, hidden : 2 * hidden])
+        g = jnp.tanh(gates[:, 2 * hidden : 3 * hidden])
+        o = jax.nn.sigmoid(gates[:, 3 * hidden :])
+        c_new = f * c + i * g
+        h_new = o * jnp.tanh(c_new)
+        if m is not None:
+            c_new = jnp.where(m > 0, c_new, c)
+            h_new = jnp.where(m > 0, h_new, h)
+            out = jnp.where(m > 0, h_new, 0.0)
+        else:
+            out = h_new
+        return (h_new, c_new), out
+
+    init = (
+        jnp.zeros((b, hidden), jnp.float32),
+        jnp.zeros((b, hidden), jnp.float32),
+    )
+    xs = xproj_t if mask_t is None else (xproj_t, mask_t)
+    _, out_t = jax.lax.scan(step, init, xs)
+    out = jnp.swapaxes(out_t, 0, 1)  # [B, T, H]
+    if reverse:
+        out = jnp.flip(out, axis=1)
+    return out
+
+
+def init_blstm_stack(key, n_in: int, hidden: int, layers: int) -> list[dict]:
+    """Per-layer params; layer 0 input n_in, deeper layers input 2*hidden."""
+    keys = jax.random.split(key, 2 * layers)
+    stack = []
+    for l in range(layers):
+        d = n_in if l == 0 else 2 * hidden
+        stack.append(
+            {
+                "fwd": init_lstm_layer(keys[2 * l], d, hidden),
+                "bwd": init_lstm_layer(keys[2 * l + 1], d, hidden),
+            }
+        )
+    return stack
+
+
+def blstm_stack(
+    stack: list[dict],
+    x: jnp.ndarray,  # [B, T, F]
+    mask: jnp.ndarray | None = None,  # [B, T]
+    compute_dtype=jnp.float32,
+    remat: bool = True,
+) -> jnp.ndarray:
+    """Run the BLSTM stack -> [B, T, 2*hidden]."""
+
+    def layer(params, h):
+        fwd = _lstm_scan(params["fwd"], h, mask, reverse=False, compute_dtype=compute_dtype)
+        bwd = _lstm_scan(params["bwd"], h, mask, reverse=True, compute_dtype=compute_dtype)
+        return jnp.concatenate([fwd, bwd], axis=-1)
+
+    layer_fn = jax.checkpoint(layer) if remat else layer
+    h = x
+    for params in stack:
+        h = layer_fn(params, h)
+    return h

@@ -1,0 +1,97 @@
+"""Deep clustering (DPCL) separator.
+
+Capability parity: the reference's models/dpcl.py (SURVEY.md §2.3), after
+Hershey et al. 2016 (SURVEY.md §2.9).  BLSTM -> per-TF-bin embedding V (tanh,
+L2-normalized); training minimizes the affinity mismatch ||VV^T - YY^T||_F^2
+in EXPANDED GRAM FORM — E x E and E x S grams only (MXU-sized), never the
+(T'·F)^2 affinity matrix.  Silent bins are weighted out (vad_weights).
+Inference clusters embeddings with on-device k-means (SURVEY.md §2.4).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from amss_tpu.models.base import SeparatorBase, _EPS
+from amss_tpu.models.blstm import _init_dense, dense
+from amss_tpu.models.front import vad_weights, _one_hot_last
+from amss_tpu.ops.kmeans import kmeans
+from amss_tpu.utils.config import ModelConfig
+
+
+def dpcl_loss(
+    v: jnp.ndarray,  # [B, T', F, E] unit-norm embeddings
+    y: jnp.ndarray,  # [B, T', F, S] one-hot targets
+    w: jnp.ndarray,  # [B, T', F] bin weights
+) -> jnp.ndarray:
+    """Weighted ||VV^T - YY^T||_F^2 via Gram expansion, mean over batch."""
+    b = v.shape[0]
+    e = v.shape[-1]
+    s = y.shape[-1]
+    sw = jnp.sqrt(jnp.maximum(w, 0.0))[..., None]
+    vw = (v * sw).reshape(b, -1, e)  # [B, N, E]
+    yw = (y * sw).reshape(b, -1, s)  # [B, N, S]
+    vtv = jnp.einsum("bne,bnf->bef", vw, vw, preferred_element_type=jnp.float32)
+    vty = jnp.einsum("bne,bns->bes", vw, yw, preferred_element_type=jnp.float32)
+    yty = jnp.einsum("bns,bnt->bst", yw, yw, preferred_element_type=jnp.float32)
+    per = (
+        jnp.sum(vtv**2, axis=(-2, -1))
+        - 2.0 * jnp.sum(vty**2, axis=(-2, -1))
+        + jnp.sum(yty**2, axis=(-2, -1))
+    )
+    norm = jnp.maximum(jnp.sum(w.reshape(b, -1), axis=-1), 1.0) ** 2
+    return jnp.mean(per / norm)
+
+
+class DPCLModel(SeparatorBase):
+    def __init__(self, cfg: ModelConfig):
+        assert cfg.kind == "dpcl"
+        super().__init__(cfg)
+
+    def init(self, key) -> dict:
+        kf, kt, kp = jax.random.split(key, 3)
+        c = self.cfg
+        return {
+            "front": self.front.init(kf),
+            "separator": {
+                **self.init_trunk(kt),
+                "proj": _init_dense(kp, 2 * c.sep.hidden, c.front.feature_dim * c.sep.embed_dim),
+            },
+        }
+
+    def embed(
+        self, params: dict, feats: jnp.ndarray, frame_mask: jnp.ndarray | None = None
+    ) -> jnp.ndarray:
+        """features [B, T', F] -> unit embeddings [B, T', F, E]."""
+        c = self.cfg
+        h = self.trunk(params["separator"], feats, frame_mask)  # [B, T', 2H]
+        v = dense(params["separator"]["proj"], h, self._compute_dtype())
+        v = v.reshape(*feats.shape, c.sep.embed_dim)
+        v = jnp.tanh(v)
+        return v / (jnp.linalg.norm(v, axis=-1, keepdims=True) + _EPS)
+
+    def loss(self, params: dict, sources: jnp.ndarray) -> tuple[jnp.ndarray, dict]:
+        """Training objective from raw source chunks [B, S, T] (mixing on device)."""
+        _, codes, _, y, w = self.encode_mix_and_sources(params, sources)
+        feats = self.front.features(params["front"], codes)
+        v = self.embed(params, feats)
+        l = dpcl_loss(v, y, w)
+        return l, {"dpcl_loss": l}
+
+    def separate(self, params: dict, mix: jnp.ndarray, kmeans_iters: int = 10):
+        """mix [B, T] -> separated [B, S, T], fully on device (no host k-means)."""
+        c = self.cfg
+        length = mix.shape[-1]
+        codes, aux = self.front.encode(params["front"], mix)
+        feats = self.front.features(params["front"], codes)
+        v = self.embed(params, feats)
+        b = v.shape[0]
+        w = vad_weights(codes, c.vad_threshold_db)
+        flat_v = v.reshape(b, -1, c.sep.embed_dim)
+        flat_w = w.reshape(b, -1)
+        _, assign = kmeans(flat_v, k=c.nb_speakers, iters=kmeans_iters, weights=flat_w)
+        masks = _one_hot_last(assign, c.nb_speakers, codes.dtype).reshape(
+            *codes.shape, c.nb_speakers
+        )
+        return self.apply_masks_and_decode(params, codes, aux, masks, length)

@@ -1,0 +1,96 @@
+"""Typed dataclass configs + deterministic run ids.
+
+Capability parity: the reference's argparse hyperparameter bundle whose values
+define the run-id/log-dir (SURVEY.md §2.5, §5.6).  Here configs are frozen
+dataclasses (hashable, jit-static-friendly); ``run_id`` hashes the config so a
+recipe's checkpoints land in a deterministic directory, matching the
+reference's hyperparameter-id convention.  The five driver configs
+(BASELINE.json:7-11) live in amss_tpu/configs/ as committed instances.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import json
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class FrontConfig:
+    kind: str = "stft"  # "stft" | "adapt"
+    # STFT params
+    win: int = 256
+    hop: int = 64
+    # Adaptive filterbank params (kind == "adapt")
+    n_filters: int = 256
+    filter_len: int = 256
+    stride: int = 64
+    pool: int = 2
+    smooth_len: int = 4  # learned smoothing window (frames)
+
+    @property
+    def feature_dim(self) -> int:
+        return self.win // 2 + 1 if self.kind == "stft" else self.n_filters
+
+    def frames_for(self, t: int) -> int:
+        if self.kind == "stft":
+            return 1 + (t - self.win) // self.hop
+        nf = 1 + (t - self.filter_len) // self.stride
+        return (nf // self.pool) * self.pool // self.pool
+
+
+@dataclass(frozen=True)
+class SeparatorConfig:
+    hidden: int = 300
+    layers: int = 2
+    embed_dim: int = 20
+    dropout: float = 0.0
+    compute_dtype: str = "float32"  # "bfloat16" on TPU hot path
+    remat: bool = True
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    kind: str = "dpcl"  # "dpcl" | "l41" | "chimera"
+    front: FrontConfig = field(default_factory=FrontConfig)
+    sep: SeparatorConfig = field(default_factory=SeparatorConfig)
+    nb_speakers: int = 2
+    n_train_speakers: int = 0  # L41 centroid table size (0 = not needed)
+    chimera_alpha: float = 0.5  # weight on DC loss in Chimera
+    vad_threshold_db: float = 40.0  # bins this far below max are weighted out
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    batch_size: int = 8
+    chunk_samples: int = 16384  # ~2 s @ 8 kHz
+    lr: float = 1e-3
+    grad_clip: float = 5.0
+    steps: int = 1000
+    valid_every: int = 100
+    valid_steps: int = 4
+    seed: int = 0
+    data_axis: int = 1  # mesh size along "data" (1 = single chip)
+
+
+@dataclass(frozen=True)
+class RecipeConfig:
+    name: str = "recipe"
+    model: ModelConfig = field(default_factory=ModelConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    sample_rate: int = 8000
+    # end-to-end finetune: path/run-id of a pretrained adapt front to restore
+    pretrained_front: str | None = None
+    freeze_front_steps: int = 0
+
+
+def _as_dict(cfg) -> dict:
+    return dataclasses.asdict(cfg)
+
+
+def run_id(cfg: RecipeConfig) -> str:
+    """Deterministic 12-hex id from the full config (reference's hyperparameter
+    -id/log-dir convention, SURVEY.md §5.6)."""
+    blob = json.dumps(_as_dict(cfg), sort_keys=True).encode()
+    return hashlib.sha256(blob).hexdigest()[:12]
