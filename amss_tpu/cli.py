@@ -1,0 +1,212 @@
+"""Command-line surface: train / evaluate / separate / ingest / make-synthetic.
+
+Capability parity: the reference's per-recipe experiment scripts with argparse
+hyperparameters (SURVEY.md §2.5, §5.6).  One binary, subcommands per recipe
+stage; every hyperparameter that defined a reference run-id is overridable.
+
+  python -m amss_tpu.cli make-synthetic --out /tmp/corpus
+  python -m amss_tpu.cli train --recipe c1 --corpus /tmp/corpus
+  python -m amss_tpu.cli train --recipe c2_pretrain --corpus /tmp/corpus
+  python -m amss_tpu.cli train --recipe c2 --corpus /tmp/corpus \
+      --pretrained-front runs/c2_pretrain_<id>
+  python -m amss_tpu.cli evaluate --recipe c1 --corpus /tmp/corpus --run-dir ...
+  python -m amss_tpu.cli separate --recipe c1 --run-dir ... --wav a.wav b.wav
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+
+def _add_train_overrides(p: argparse.ArgumentParser):
+    p.add_argument("--steps", type=int)
+    p.add_argument("--batch-size", type=int)
+    p.add_argument("--chunk-samples", type=int)
+    p.add_argument("--lr", type=float)
+    p.add_argument("--seed", type=int)
+    p.add_argument("--valid-every", type=int)
+    p.add_argument("--data-axis", type=int, help="devices on the data mesh axis")
+    p.add_argument("--hidden", type=int)
+    p.add_argument("--layers", type=int)
+    p.add_argument("--embed-dim", type=int)
+    p.add_argument("--compute-dtype", choices=["float32", "bfloat16"])
+
+
+def _build_recipe(args, store):
+    from amss_tpu.configs.recipes import ALL_RECIPES
+
+    factory = ALL_RECIPES[args.recipe]
+    kwargs = {}
+    if args.recipe == "c3":
+        kwargs["n_train_speakers"] = len(store.speakers)
+    if args.recipe == "c2" and getattr(args, "pretrained_front", None):
+        kwargs["pretrained_front"] = args.pretrained_front
+    recipe = factory(**kwargs)
+
+    tover = {
+        k: v
+        for k, v in {
+            "steps": args.steps,
+            "batch_size": args.batch_size,
+            "chunk_samples": args.chunk_samples,
+            "lr": args.lr,
+            "seed": args.seed,
+            "valid_every": args.valid_every,
+            "data_axis": args.data_axis,
+        }.items()
+        if v is not None
+    }
+    sover = {
+        k: v
+        for k, v in {
+            "hidden": args.hidden,
+            "layers": args.layers,
+            "embed_dim": args.embed_dim,
+            "compute_dtype": args.compute_dtype,
+        }.items()
+        if v is not None
+    }
+    if tover:
+        recipe = dataclasses.replace(recipe, train=dataclasses.replace(recipe.train, **tover))
+    if sover:
+        recipe = dataclasses.replace(
+            recipe,
+            model=dataclasses.replace(
+                recipe.model, sep=dataclasses.replace(recipe.model.sep, **sover)
+            ),
+        )
+    return recipe
+
+
+def cmd_make_synthetic(args):
+    from amss_tpu.data.synthetic import make_synthetic_corpus
+
+    make_synthetic_corpus(
+        args.out, n_speakers=args.speakers, seconds_per_speaker=args.seconds
+    )
+    print(f"synthetic corpus: {args.speakers} speakers at {args.out}")
+
+
+def cmd_ingest(args):
+    from amss_tpu.data.store import ingest_wav_tree
+
+    store = ingest_wav_tree(args.wav_root, args.out)
+    print(f"ingested {len(store.speakers)} speakers into {args.out}")
+
+
+def cmd_train(args):
+    from amss_tpu.data.store import SpeakerStore
+    from amss_tpu.train.engine import Trainer
+
+    store = SpeakerStore(args.corpus)
+    recipe = _build_recipe(args, store)
+    trainer = Trainer(recipe, store, workdir=args.workdir)
+    print(f"run dir: {trainer.dir}")
+    state = trainer.restore() if args.resume else None
+    trainer.fit(state)
+
+
+def _trainer_for(args, store, recipe):
+    from amss_tpu.train.engine import Trainer
+
+    return Trainer(
+        recipe, store, workdir=args.workdir, run_dir=getattr(args, "run_dir", None)
+    )
+
+
+def cmd_evaluate(args):
+    import numpy as np
+
+    from amss_tpu.data.store import SpeakerStore
+    from amss_tpu.infer.evaluate import evaluate_separation
+    from amss_tpu.infer.streaming import StreamingSeparator
+    from amss_tpu.train.engine import Trainer
+
+    store = SpeakerStore(args.corpus)
+    recipe = _build_recipe(args, store)
+    trainer = _trainer_for(args, store, recipe)
+    state = trainer.restore(best=True)
+
+    mixes, refs = [], []
+    for i in range(args.n_mixtures):
+        hb = trainer.mixer.batch("test", i, 1)
+        refs.append(hb.sources[0])
+        mixes.append(hb.sources[0].sum(0))
+    sep = StreamingSeparator(trainer.model, state["params"], sample_rate=recipe.sample_rate)
+    est = sep.separate_all(mixes)
+    out = evaluate_separation(
+        np.stack(est), np.stack(refs), np.stack(mixes)
+    )
+    out["rtf"] = sep.meter.rtf
+    out["utterances_per_sec"] = sep.meter.utterances_per_sec
+    print(json.dumps(out))
+
+
+def cmd_separate(args):
+    import numpy as np
+
+    from amss_tpu.data.store import SpeakerStore, _read_wav
+    from amss_tpu.infer.evaluate import write_wav
+    from amss_tpu.infer.streaming import StreamingSeparator
+    from amss_tpu.train.engine import Trainer
+
+    store = SpeakerStore(args.corpus)
+    recipe = _build_recipe(args, store)
+    trainer = _trainer_for(args, store, recipe)
+    state = trainer.restore(best=True)
+    waves = [_read_wav(p)[0] for p in args.wav]
+    sep = StreamingSeparator(trainer.model, state["params"], sample_rate=recipe.sample_rate)
+    ests = sep.separate_all(waves)
+    os.makedirs(args.out, exist_ok=True)
+    for path, est in zip(args.wav, ests):
+        base = os.path.splitext(os.path.basename(path))[0]
+        for s in range(est.shape[0]):
+            write_wav(os.path.join(args.out, f"{base}_spk{s}.wav"), est[s],
+                      recipe.sample_rate)
+    print(f"wrote {sum(e.shape[0] for e in ests)} wavs to {args.out} "
+          f"(rtf={sep.meter.rtf:.4f})")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="amss_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("make-synthetic")
+    p.add_argument("--out", required=True)
+    p.add_argument("--speakers", type=int, default=12)
+    p.add_argument("--seconds", type=float, default=30.0)
+    p.set_defaults(fn=cmd_make_synthetic)
+
+    p = sub.add_parser("ingest")
+    p.add_argument("--wav-root", required=True)
+    p.add_argument("--out", required=True)
+    p.set_defaults(fn=cmd_ingest)
+
+    for name, fn in [("train", cmd_train), ("evaluate", cmd_evaluate),
+                     ("separate", cmd_separate)]:
+        p = sub.add_parser(name)
+        p.add_argument("--recipe", required=True,
+                       choices=["c1", "c2_pretrain", "c2", "c3", "c4", "c5"])
+        p.add_argument("--corpus", required=True)
+        p.add_argument("--workdir", default="runs")
+        p.add_argument("--pretrained-front")
+        p.add_argument("--run-dir", help="explicit run directory (evaluate/separate)")
+        p.add_argument("--resume", action="store_true")
+        _add_train_overrides(p)
+        if name == "evaluate":
+            p.add_argument("--n-mixtures", type=int, default=32)
+        if name == "separate":
+            p.add_argument("--wav", nargs="+", required=True)
+            p.add_argument("--out", default="separated")
+        p.set_defaults(fn=fn)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

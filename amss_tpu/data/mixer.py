@@ -21,6 +21,21 @@ from amss_tpu.data.store import SpeakerStore
 _SPLITS = ("train", "valid", "test")
 
 
+def _chunk_wrap(wave: np.ndarray, start: int, t: int) -> np.ndarray:
+    """Chunk of length t from `wave` starting at `start`, wrapping to the
+    shard head if short — bit-identical to the native kernel's semantics."""
+    if start + t <= len(wave):
+        return np.asarray(wave[start : start + t], np.float32)
+    out = np.empty(t, np.float32)
+    pos, filled = start, 0
+    while filled < t:
+        take = min(len(wave) - pos, t - filled)
+        out[filled : filled + take] = wave[pos : pos + take]
+        filled += take
+        pos = 0
+    return out
+
+
 @dataclass
 class Batch:
     """Host-side batch; `.sources` is summed on device to form the mixture."""
@@ -55,7 +70,9 @@ class Mixer:
         n = len(spk)
         n_tr = max(int(n * split_fractions[0]), nb_speakers)
         n_va = max(int(n * split_fractions[1]), nb_speakers)
-        if n_tr + n_va + nb_speakers > n:
+        if n_tr + n_va + nb_speakers > n:  # shrink train to keep splits disjoint
+            n_tr = n - n_va - nb_speakers
+        if n_tr < nb_speakers:
             raise ValueError(
                 f"{n} speakers cannot give disjoint splits with S={nb_speakers}"
             )
@@ -70,14 +87,20 @@ class Mixer:
         return len(self.split_speakers["train"])
 
     def batch(self, split: str, step: int, batch_size: int) -> Batch:
-        """Deterministic batch: pure function of (seed, split, step)."""
+        """Deterministic batch: pure function of (seed, split, step).
+
+        Selection (speakers, offsets, gains) is drawn here in numpy — one
+        place owns the determinism contract; the memory-bound gather+scale
+        runs in the native C++ kernel when available (data/native.py), with a
+        bit-identical numpy fallback.
+        """
         assert split in _SPLITS
         rng = np.random.default_rng(
             np.random.SeedSequence([self.seed, _SPLITS.index(split), step])
         )
         speakers = self.split_speakers[split]
-        sources = np.empty((batch_size, self.s, self.t), np.float32)
         ids = np.empty((batch_size, self.s), np.int32)
+        starts = np.empty((batch_size, self.s), np.int64)
         lo, hi = self.gain_db
         gains_db = rng.uniform(lo, hi, size=(batch_size, self.s))
         gains = (10.0 ** (gains_db / 20.0)).astype(np.float32)
@@ -85,14 +108,24 @@ class Mixer:
             chosen = rng.choice(len(speakers), size=self.s, replace=False)
             for j, c in enumerate(chosen):
                 spk = speakers[c]
-                wave = self.store.waveform(spk)
-                start = rng.integers(0, max(len(wave) - self.t, 1))
-                chunk = np.asarray(wave[start : start + self.t], np.float32)
-                if len(chunk) < self.t:  # short shard: tile
-                    chunk = np.resize(chunk, self.t)
-                sources[b, j] = gains[b, j] * chunk
                 ids[b, j] = self.global_index[spk]
-        return Batch(sources=sources, speaker_ids=ids, gains=gains)
+                n = self.store.n_samples(spk)
+                starts[b, j] = rng.integers(0, max(n - self.t, 1))
+
+        shards = [self.store.waveform(s) for s in self.store.speakers]
+        flat = np.empty((batch_size * self.s, self.t), np.float32)
+        from amss_tpu.data.native import batch_fill
+
+        if not batch_fill(flat, shards, ids.ravel(), starts.ravel(), gains.ravel()):
+            for k in range(batch_size * self.s):
+                flat[k] = gains.ravel()[k] * _chunk_wrap(
+                    shards[ids.ravel()[k]], int(starts.ravel()[k]), self.t
+                )
+        return Batch(
+            sources=flat.reshape(batch_size, self.s, self.t),
+            speaker_ids=ids,
+            gains=gains,
+        )
 
     def epoch(self, split: str, steps: int, batch_size: int, epoch: int = 0):
         """Yield `steps` deterministic batches for this epoch."""

@@ -23,6 +23,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from amss_tpu.ops.framing import frame_signal, overlap_add
+from amss_tpu.ops.pallas.dispatch import use_pallas
+from amss_tpu.ops.pallas.framed_matmul import framed_matmul
+from amss_tpu.ops.pallas.ola import pallas_decode_ola
 from amss_tpu.ops.pooling import max_pool_argmax, unpool_argmax
 from amss_tpu.utils.config import FrontConfig
 
@@ -58,8 +61,14 @@ class AdaptFrontEnd:
     # -- analysis -----------------------------------------------------------
     def encode(self, params: dict, wave: jnp.ndarray):
         c = self.cfg
-        frames = frame_signal(wave, c.filter_len, c.stride)  # [..., T', L]
-        z = jnp.matmul(frames, params["enc"], preferred_element_type=jnp.float32)
+        if use_pallas():
+            lead = wave.shape[:-1]
+            flat = wave.reshape(-1, wave.shape[-1])
+            z = framed_matmul(flat, params["enc"], c.stride)
+            z = z.reshape(*lead, *z.shape[1:])
+        else:
+            frames = frame_signal(wave, c.filter_len, c.stride)  # [..., T', L]
+            z = jnp.matmul(frames, params["enc"], preferred_element_type=jnp.float32, precision="highest")
         mag = jnp.abs(z)  # [..., T', N]
         sign = jnp.sign(z)
         # Trim T' to a multiple of pool (static).
@@ -92,5 +101,40 @@ class AdaptFrontEnd:
         c = self.cfg
         up = unpool_argmax(codes, aux["idx"], c.pool)  # [..., T', N]
         z = up * aux["sign"]
-        frames = jnp.matmul(z, params["dec"], preferred_element_type=jnp.float32)
+        if use_pallas():
+            lead = z.shape[:-2]
+            y = pallas_decode_ola(
+                z.reshape(-1, *z.shape[-2:]), params["dec"], c.stride, length=length
+            )
+            return y.reshape(*lead, length)
+        frames = jnp.matmul(z, params["dec"], preferred_element_type=jnp.float32, precision="highest")
         return overlap_add(frames, c.stride, length=length)
+
+
+class AdaptAutoencoder:
+    """Reconstruction pretraining of the adaptive front (SURVEY.md §2.2 last
+    row, §3.1): clean-speech autoencoding with an SDR-flavored loss, the
+    prerequisite of the end-to-end finetune recipe (BASELINE.json:8)."""
+
+    def __init__(self, cfg):
+        self.cfg = cfg
+        self.front = AdaptFrontEnd(cfg.front)
+
+    def init(self, key) -> dict:
+        return {"front": self.front.init(key)}
+
+    def loss(self, params: dict, sources: jnp.ndarray):
+        """sources [B, S, T]: each clean chunk autoencodes independently."""
+        from amss_tpu.ops.metrics import si_sdr
+
+        b, s, t = sources.shape
+        wave = sources.reshape(b * s, t)
+        codes, aux = self.front.encode(params["front"], wave)
+        recon = self.front.decode(params["front"], codes, aux, t)
+        neg_si = -jnp.mean(si_sdr(recon, wave))
+        l2 = jnp.mean((recon - wave) ** 2)
+        l = neg_si + 10.0 * l2
+        return l, {"ae_loss": l, "neg_si_sdr": neg_si, "l2": l2}
+
+    def loss_from_batch(self, params, batch):
+        return self.loss(params, batch["sources"])

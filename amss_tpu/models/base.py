@@ -73,6 +73,10 @@ class SeparatorBase:
         w = vad_weights(codes, self.cfg.vad_threshold_db)  # [B, T', F]
         return mix, codes, aux, y, w
 
+    def loss_from_batch(self, params: dict, batch: dict):
+        """Uniform trainer entry point; L41 overrides to use speaker ids."""
+        return self.loss(params, batch["sources"])
+
     def apply_masks_and_decode(
         self,
         params: dict,

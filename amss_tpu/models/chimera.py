@@ -93,9 +93,14 @@ class ChimeraModel(SeparatorBase):
         l = c.chimera_alpha * l_dc + (1.0 - c.chimera_alpha) * l_mi
         return l, {"chimera_loss": l, "dc_loss": l_dc, "mi_loss": l_mi}
 
-    def separate(self, params: dict, mix: jnp.ndarray):
+    def separate(
+        self,
+        params: dict,
+        mix: jnp.ndarray,
+        frame_mask: jnp.ndarray | None = None,
+    ):
         length = mix.shape[-1]
         codes, aux = self.front.encode(params["front"], mix)
         feats = self.front.features(params["front"], codes)
-        _, masks = self.heads(params, feats)
+        _, masks = self.heads(params, feats, frame_mask)
         return self.apply_masks_and_decode(params, codes, aux, masks, length)

@@ -72,22 +72,47 @@ class DPCLModel(SeparatorBase):
         return v / (jnp.linalg.norm(v, axis=-1, keepdims=True) + _EPS)
 
     def loss(self, params: dict, sources: jnp.ndarray) -> tuple[jnp.ndarray, dict]:
-        """Training objective from raw source chunks [B, S, T] (mixing on device)."""
-        _, codes, _, y, w = self.encode_mix_and_sources(params, sources)
+        """Training objective from raw source chunks [B, S, T] (mixing on device).
+
+        With a learned front and recon_weight > 0, adds the waveform-domain
+        mixture-reconstruction term of the end-to-end finetune recipe
+        (SURVEY.md §3.3) so the filterbank stays invertible while the
+        embedding loss shapes it."""
+        mix, codes, aux, y, w = self.encode_mix_and_sources(params, sources)
         feats = self.front.features(params["front"], codes)
         v = self.embed(params, feats)
-        l = dpcl_loss(v, y, w)
-        return l, {"dpcl_loss": l}
+        l_dc = dpcl_loss(v, y, w)
+        metrics = {"dpcl_loss": l_dc}
+        l = l_dc
+        if self.cfg.recon_weight > 0.0:
+            recon = self.front.decode(params["front"], codes, aux, mix.shape[-1])
+            l_rec = jnp.mean((recon - mix) ** 2)
+            metrics["recon_l2"] = l_rec
+            l = l + self.cfg.recon_weight * l_rec
+        return l, metrics
 
-    def separate(self, params: dict, mix: jnp.ndarray, kmeans_iters: int = 10):
-        """mix [B, T] -> separated [B, S, T], fully on device (no host k-means)."""
+    def separate(
+        self,
+        params: dict,
+        mix: jnp.ndarray,
+        kmeans_iters: int = 10,
+        frame_mask: jnp.ndarray | None = None,
+    ):
+        """mix [B, T] -> separated [B, S, T], fully on device (no host k-means).
+
+        frame_mask [B, T'] marks valid (non-padding) frames for bucketed
+        variable-length batches (BASELINE.json:11): padded frames are excluded
+        from normalization, recurrence, and clustering.
+        """
         c = self.cfg
         length = mix.shape[-1]
         codes, aux = self.front.encode(params["front"], mix)
         feats = self.front.features(params["front"], codes)
-        v = self.embed(params, feats)
+        v = self.embed(params, feats, frame_mask)
         b = v.shape[0]
         w = vad_weights(codes, c.vad_threshold_db)
+        if frame_mask is not None:
+            w = w * frame_mask[..., None]
         flat_v = v.reshape(b, -1, c.sep.embed_dim)
         flat_w = w.reshape(b, -1)
         _, assign = kmeans(flat_v, k=c.nb_speakers, iters=kmeans_iters, weights=flat_w)

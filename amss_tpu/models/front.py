@@ -18,14 +18,40 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from amss_tpu.ops.stft import stft, istft
+import numpy as np
+
+from amss_tpu.ops.framing import overlap_add
+from amss_tpu.ops.pallas.dispatch import use_pallas
+from amss_tpu.ops.pallas.framed_matmul import pallas_stft_ri
+from amss_tpu.ops.pallas.ola import pallas_decode_ola
+from amss_tpu.ops.stft import stft_ri, istft_ri, idft_matrices, hann_window
 from amss_tpu.utils.config import FrontConfig
 
 _EPS = 1e-7
 
 
+def _pallas_istft(ri: jnp.ndarray, win: int, hop: int, length: int) -> jnp.ndarray:
+    """iSTFT via the fused decode+OLA kernel: ``[B', NF, 2F] -> [B', length]``.
+
+    The synthesis window folds into the inverse-DFT basis columns; the COLA
+    normalizer is data-independent, so XLA constant-folds it.
+    """
+    window = hann_window(win)
+    ci, si = idft_matrices(win)
+    basis = jnp.asarray(np.concatenate([ci, si], axis=0) * window[None, :])
+    y = pallas_decode_ola(ri, basis, hop, length=length)
+    nf = ri.shape[-2]
+    wsq = np.tile((window * window)[None, :], (nf, 1))
+    norm = overlap_add(jnp.asarray(wsq), hop, length=length)
+    return y / jnp.maximum(norm, 1e-8)
+
+
 class STFTFrontEnd:
-    """Fixed windowed-DFT analysis/synthesis (zero parameters)."""
+    """Fixed windowed-DFT analysis/synthesis (zero parameters).
+
+    Phase rides in ``aux`` as unit (cos, sin) real tensors — the axon TPU
+    backend has no complex dtype, and real pairs fuse better anyway.
+    """
 
     def __init__(self, cfg: FrontConfig):
         assert cfg.kind == "stft"
@@ -35,17 +61,33 @@ class STFTFrontEnd:
         return {}
 
     def encode(self, params: dict, wave: jnp.ndarray):
-        spec = stft(wave, self.cfg.win, self.cfg.hop)
-        mag = jnp.abs(spec)
-        phase = spec / (mag + _EPS)
-        return mag, {"phase": phase}
+        c = self.cfg
+        if use_pallas() and wave.ndim == 2:
+            re, im = pallas_stft_ri(wave, c.win, c.hop)
+        elif use_pallas() and wave.ndim == 3:  # [B, S, T] source batches
+            b, s, t = wave.shape
+            re, im = pallas_stft_ri(wave.reshape(b * s, t), c.win, c.hop)
+            re = re.reshape(b, s, *re.shape[1:])
+            im = im.reshape(b, s, *im.shape[1:])
+        else:
+            re, im = stft_ri(wave, c.win, c.hop)
+        mag = jnp.sqrt(re * re + im * im + _EPS * _EPS)
+        return mag, {"cos": re / mag, "sin": im / mag}
 
     def features(self, params: dict, codes: jnp.ndarray) -> jnp.ndarray:
         return jnp.log(codes + _EPS)
 
     def decode(self, params: dict, codes: jnp.ndarray, aux: dict, length: int):
-        spec = codes.astype(jnp.complex64) * aux["phase"]
-        return istft(spec, self.cfg.win, self.cfg.hop, length=length)
+        re = codes * aux["cos"]
+        im = codes * aux["sin"]
+        c = self.cfg
+        if use_pallas() and codes.ndim >= 3:
+            lead = codes.shape[:-2]
+            nf, f = codes.shape[-2:]
+            ri = jnp.concatenate([re, im], axis=-1).reshape(-1, nf, 2 * f)
+            y = _pallas_istft(ri, c.win, c.hop, length)
+            return y.reshape(*lead, length)
+        return istft_ri(re, im, c.win, c.hop, length=length)
 
 
 # ---------------------------------------------------------------------------

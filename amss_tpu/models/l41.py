@@ -77,12 +77,16 @@ class L41Model(SeparatorBase):
         )
         return l, {"l41_loss": l}
 
+    def loss_from_batch(self, params: dict, batch: dict):
+        return self.loss(params, batch["sources"], batch["speaker_ids"])
+
     def separate(
         self,
         params: dict,
         mix: jnp.ndarray,
         speaker_ids: jnp.ndarray | None = None,
         kmeans_iters: int = 10,
+        frame_mask: jnp.ndarray | None = None,
     ):
         """Enrolled path: soft sigmoid masks from known speaker centroids.
         Blind path (speaker_ids None): k-means over embeddings, as DPCL."""
@@ -90,12 +94,14 @@ class L41Model(SeparatorBase):
         length = mix.shape[-1]
         codes, aux = self.front.encode(params["front"], mix)
         feats = self.front.features(params["front"], codes)
-        v = self.embed(params, feats)
+        v = self.embed(params, feats, frame_mask)
         if speaker_ids is not None:
             masks = jax.nn.sigmoid(self._logits(params, v, speaker_ids))
         else:
             b = v.shape[0]
             w = vad_weights(codes, c.vad_threshold_db)
+            if frame_mask is not None:
+                w = w * frame_mask[..., None]
             _, assign = kmeans(
                 v.reshape(b, -1, c.sep.embed_dim),
                 k=c.nb_speakers,

@@ -6,7 +6,7 @@ default, Pallas fused kernels on the hot paths (ops/pallas/).
 """
 
 from amss_tpu.ops.framing import frame_signal, overlap_add
-from amss_tpu.ops.stft import stft, istft, hann_window, dft_matrices
+from amss_tpu.ops.stft import stft, istft, stft_ri, istft_ri, hann_window, dft_matrices
 from amss_tpu.ops.metrics import si_sdr, pit_si_sdr, sdr_improvement
 from amss_tpu.ops.pooling import max_pool_argmax, unpool_argmax
 from amss_tpu.ops.kmeans import kmeans
@@ -16,6 +16,8 @@ __all__ = [
     "overlap_add",
     "stft",
     "istft",
+    "stft_ri",
+    "istft_ri",
     "hann_window",
     "dft_matrices",
     "si_sdr",

@@ -67,15 +67,16 @@ def idft_matrices(win: int) -> tuple[np.ndarray, np.ndarray]:
     return ci, si
 
 
-def stft(
+def stft_ri(
     x: jnp.ndarray,
     win: int,
     hop: int,
     window: np.ndarray | None = None,
-) -> jnp.ndarray:
-    """STFT of ``x[..., T]`` -> complex64 ``[..., num_frames, F]``.
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """STFT of ``x[..., T]`` -> (re, im) each ``[..., num_frames, F]``.
 
-    Window defaults to periodic Hann.  Implemented as two real MXU matmuls.
+    Real/imag stay separate float32 tensors: the axon TPU backend has no
+    complex support, and two real MXU matmuls are the fast path regardless.
     """
     if window is None:
         window = hann_window(win)
@@ -83,13 +84,49 @@ def stft(
     wc = jnp.asarray(window[:, None] * c)
     ws = jnp.asarray(window[:, None] * s)
     frames = frame_signal(x, win, hop)
-    re = jnp.matmul(frames, wc, preferred_element_type=jnp.float32)
-    im = jnp.matmul(frames, ws, preferred_element_type=jnp.float32)
-    return jax_complex(re, im)
+    re = jnp.matmul(frames, wc, preferred_element_type=jnp.float32, precision="highest")
+    im = jnp.matmul(frames, ws, preferred_element_type=jnp.float32, precision="highest")
+    return re, im
 
 
-def jax_complex(re: jnp.ndarray, im: jnp.ndarray) -> jnp.ndarray:
+def stft(
+    x: jnp.ndarray, win: int, hop: int, window: np.ndarray | None = None
+) -> jnp.ndarray:
+    """Complex-valued convenience wrapper (CPU tests / host analysis only —
+    complex dtypes do not lower on the axon TPU backend)."""
+    re, im = stft_ri(x, win, hop, window)
     return re + 1j * im
+
+
+def istft_ri(
+    re: jnp.ndarray,
+    im: jnp.ndarray,
+    win: int,
+    hop: int,
+    length: int | None = None,
+    window: np.ndarray | None = None,
+) -> jnp.ndarray:
+    """Inverse STFT from (re, im) ``[..., num_frames, F]`` -> ``[..., T]``.
+
+    Synthesis window = analysis window; output divided by the overlap-added
+    squared window (COLA normalization), so stft->istft is perfect
+    reconstruction away from the edges for any COLA (win, hop).
+    """
+    if window is None:
+        window = hann_window(win)
+    ci, si = idft_matrices(win)
+    frames = (
+        jnp.matmul(re, jnp.asarray(ci), preferred_element_type=jnp.float32, precision="highest")
+        + jnp.matmul(im, jnp.asarray(si), preferred_element_type=jnp.float32, precision="highest")
+    )
+    frames = frames * jnp.asarray(window)
+    nf = re.shape[-2]
+    out = overlap_add(frames, hop, length=length)
+
+    # COLA normalizer: overlap-add of window^2, same frame count.
+    wsq = np.tile((window * window)[None, :], (nf, 1))
+    norm = overlap_add(jnp.asarray(wsq), hop, length=length)
+    return out / jnp.maximum(norm, 1e-8)
 
 
 def istft(
@@ -99,29 +136,8 @@ def istft(
     length: int | None = None,
     window: np.ndarray | None = None,
 ) -> jnp.ndarray:
-    """Inverse STFT of ``[..., num_frames, F]`` -> ``[..., T]``.
-
-    Synthesis window = analysis window; output divided by the overlap-added
-    squared window (COLA normalization), so stft->istft is perfect
-    reconstruction away from the edges for any COLA (win, hop).
-    """
-    if window is None:
-        window = hann_window(win)
-    ci, si = idft_matrices(win)
-    re = jnp.real(spec)
-    im = jnp.imag(spec)
-    frames = (
-        jnp.matmul(re, jnp.asarray(ci), preferred_element_type=jnp.float32)
-        + jnp.matmul(im, jnp.asarray(si), preferred_element_type=jnp.float32)
-    )
-    frames = frames * jnp.asarray(window)
-    nf = spec.shape[-2]
-    out = overlap_add(frames, hop, length=length)
-
-    # COLA normalizer: overlap-add of window^2, same frame count.
-    wsq = np.tile((window * window)[None, :], (nf, 1))
-    norm = overlap_add(jnp.asarray(wsq), hop, length=length)
-    return out / jnp.maximum(norm, 1e-8)
+    """Complex-input convenience wrapper over istft_ri (CPU tests only)."""
+    return istft_ri(jnp.real(spec), jnp.imag(spec), win, hop, length, window)
 
 
 def log_magnitude(spec: jnp.ndarray, floor: float = 1e-7) -> jnp.ndarray:

@@ -1,0 +1,185 @@
+"""Training engine: one pjit-sharded fit loop, recipes as configs.
+
+Capability parity: the reference's per-recipe Trainer hierarchy + experiment
+scripts (SURVEY.md §2.5, §3.1-3.3) collapsed into ONE engine — build step,
+epoch loop, periodic validation, best-checkpoint retention — parameterized by
+RecipeConfig.  TPU-first:
+
+  * The whole step (device-side mixing -> front -> separator -> loss -> Adam)
+    is one jit program; params/opt_state are donated so updates are in-place
+    in HBM (no per-step reallocation).
+  * Multi-chip: batches shard over the ``data`` mesh axis, params replicate;
+    XLA emits the gradient psum over ICI.  The same code path runs single-chip
+    with a 1-device mesh.
+  * Front freezing for finetune warm-up (SURVEY.md §3.3) is a traced scalar
+    gradient gate — no recompilation when it flips.
+  * Deterministic resume: the Mixer is stateless in (seed, step), so restoring
+    {params, opt_state, step} resumes bit-exact (SURVEY.md §5.3).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from amss_tpu.ckpt.checkpoint import restore_checkpoint, restore_subtree, save_checkpoint
+from amss_tpu.data.mixer import Mixer
+from amss_tpu.models.adapt import AdaptAutoencoder
+from amss_tpu.models.chimera import ChimeraModel
+from amss_tpu.models.dpcl import DPCLModel
+from amss_tpu.models.l41 import L41Model
+from amss_tpu.parallel.mesh import make_mesh, batch_sharding, replicated_sharding
+from amss_tpu.utils.config import ModelConfig, RecipeConfig, run_id
+from amss_tpu.utils.logging import MetricWriter
+
+
+def make_model(cfg: ModelConfig):
+    if cfg.kind == "dpcl":
+        return DPCLModel(cfg)
+    if cfg.kind == "l41":
+        return L41Model(cfg)
+    if cfg.kind == "chimera":
+        return ChimeraModel(cfg)
+    if cfg.kind == "adapt_ae":
+        return AdaptAutoencoder(cfg)
+    raise ValueError(f"unknown model kind {cfg.kind!r}")
+
+
+class Trainer:
+    def __init__(
+        self,
+        recipe: RecipeConfig,
+        store,
+        workdir: str = "runs",
+        mesh=None,
+        run_dir: str | None = None,
+    ):
+        self.recipe = recipe
+        self.rid = run_id(recipe)
+        self.dir = run_dir or os.path.join(workdir, f"{recipe.name}_{self.rid}")
+        self.model = make_model(recipe.model)
+        self.mixer = Mixer(
+            store,
+            nb_speakers=recipe.model.nb_speakers,
+            chunk_samples=recipe.train.chunk_samples,
+            seed=recipe.train.seed,
+        )
+        self.mesh = mesh if mesh is not None else make_mesh(recipe.train.data_axis)
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(recipe.train.grad_clip),
+            optax.adam(recipe.train.lr),
+        )
+        self.writer = MetricWriter(self.dir)
+        self._step_fn = None
+        self._valid_fn = None
+
+    # -- setup ---------------------------------------------------------------
+    def init_state(self, seed: int | None = None) -> dict:
+        key = jax.random.PRNGKey(self.recipe.train.seed if seed is None else seed)
+        params = self.model.init(key)
+        if self.recipe.pretrained_front:
+            params = restore_subtree(
+                self.recipe.pretrained_front, params, keys=["front"], best=True
+            )
+        return {"params": params, "opt_state": self.tx.init(params), "step": 0}
+
+    def _build_step(self):
+        model, tx = self.model, self.tx
+
+        def step(params, opt_state, batch, front_grad_scale):
+            def loss_fn(p):
+                return model.loss_from_batch(p, batch)
+
+            (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            if "front" in grads:
+                grads = {
+                    **grads,
+                    "front": jax.tree_util.tree_map(
+                        lambda g: g * front_grad_scale, grads["front"]
+                    ),
+                }
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, metrics
+
+        rep = replicated_sharding(self.mesh)
+        data = batch_sharding(self.mesh)
+        self._step_fn = jax.jit(
+            step,
+            donate_argnums=(0, 1),
+            in_shardings=(rep, rep, data, None),
+            out_shardings=(rep, rep, rep),
+        )
+
+        def valid(params, batch):
+            _, metrics = model.loss_from_batch(params, batch)
+            return metrics
+
+        self._valid_fn = jax.jit(valid, in_shardings=(rep, data), out_shardings=rep)
+
+    def _device_batch(self, batch):
+        sh = batch_sharding(self.mesh)
+        out = {"sources": jax.device_put(batch.sources, sh)}
+        if self.recipe.model.kind == "l41":
+            out["speaker_ids"] = jax.device_put(batch.speaker_ids, sh)
+        return out
+
+    # -- fit loop -------------------------------------------------------------
+    def fit(self, state: dict | None = None, log_every: int = 50) -> dict:
+        r = self.recipe.train
+        if state is None:
+            state = self.init_state()
+        if self._step_fn is None:
+            self._build_step()
+        params, opt_state = state["params"], state["opt_state"]
+        start = state["step"]
+        t0 = time.time()
+        from amss_tpu.data.prefetch import Prefetcher
+
+        batches = Prefetcher(
+            make_batch=lambda s: self.mixer.batch("train", s, r.batch_size),
+            put_batch=self._device_batch,
+            start_step=start,
+            end_step=r.steps,
+        )
+        for step, batch in batches:
+            fscale = jnp.float32(0.0 if step < self.recipe.freeze_front_steps else 1.0)
+            params, opt_state, metrics = self._step_fn(params, opt_state, batch, fscale)
+
+            if (step + 1) % log_every == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                m["steps_per_sec"] = log_every / max(time.time() - t0, 1e-9)
+                t0 = time.time()
+                self.writer.scalars(step + 1, {f"train/{k}": v for k, v in m.items()})
+
+            if (step + 1) % r.valid_every == 0 or step + 1 == r.steps:
+                vloss = self._validate(params, step)
+                save_checkpoint(
+                    self.dir,
+                    {"params": params, "opt_state": opt_state, "step": step + 1},
+                    step=step + 1,
+                    metric=vloss,
+                )
+        self.writer.flush()
+        return {"params": params, "opt_state": opt_state, "step": r.steps}
+
+    def _validate(self, params, step) -> float:
+        r = self.recipe.train
+        losses = []
+        for i in range(r.valid_steps):
+            hb = self.mixer.batch("valid", i, r.batch_size)
+            metrics = self._valid_fn(params, self._device_batch(hb))
+            losses.append(float(next(iter(metrics.values()))))
+        vloss = float(np.mean(losses))
+        self.writer.scalars(step + 1, {"valid/loss": vloss})
+        return vloss
+
+    def restore(self, best: bool = False) -> dict:
+        target = self.init_state()
+        state, _ = restore_checkpoint(self.dir, target, best=best)
+        return state

@@ -45,7 +45,6 @@ class SeparatorConfig:
     hidden: int = 300
     layers: int = 2
     embed_dim: int = 20
-    dropout: float = 0.0
     compute_dtype: str = "float32"  # "bfloat16" on TPU hot path
     remat: bool = True
 
@@ -59,6 +58,9 @@ class ModelConfig:
     n_train_speakers: int = 0  # L41 centroid table size (0 = not needed)
     chimera_alpha: float = 0.5  # weight on DC loss in Chimera
     vad_threshold_db: float = 40.0  # bins this far below max are weighted out
+    # end-to-end finetune (SURVEY.md §3.3): weight of the waveform-domain
+    # mixture-reconstruction term added to the separator loss (learned fronts)
+    recon_weight: float = 0.0
 
 
 @dataclass(frozen=True)

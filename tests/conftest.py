@@ -15,6 +15,13 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
+# The axon sitecustomize force-sets jax_platforms="axon,cpu" via jax.config at
+# interpreter start (overriding the env var), which would silently run "CPU"
+# tests on the real TPU chip.  Override the config itself.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import pytest
 

@@ -1,0 +1,84 @@
+"""Pallas kernel parity vs jnp reference (interpret mode on CPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from amss_tpu.ops.framing import frame_signal, overlap_add
+from amss_tpu.ops.pallas.framed_matmul import framed_matmul, pallas_stft_ri
+from amss_tpu.ops.pallas.ola import pallas_decode_ola, pallas_overlap_add
+from amss_tpu.ops.stft import stft_ri
+
+
+def test_framed_matmul_matches_reference(rng):
+    x = rng.standard_normal((2, 4000)).astype(np.float32)
+    basis = rng.standard_normal((256, 64)).astype(np.float32)
+    got = np.asarray(framed_matmul(jnp.asarray(x), jnp.asarray(basis), hop=64,
+                                   interpret=True))
+    want = np.asarray(
+        jnp.matmul(frame_signal(jnp.asarray(x), 256, 64), jnp.asarray(basis))
+    )
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_pallas_stft_matches_stft_ri(rng):
+    x = rng.standard_normal((1, 2048)).astype(np.float32)
+    re_p, im_p = pallas_stft_ri(jnp.asarray(x), 256, 64, interpret=True)
+    re_r, im_r = stft_ri(jnp.asarray(x), 256, 64)
+    np.testing.assert_allclose(np.asarray(re_p), np.asarray(re_r), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(im_p), np.asarray(im_r), atol=2e-3)
+
+
+def test_decode_ola_matches_reference(rng):
+    codes = rng.standard_normal((2, 50, 32)).astype(np.float32)
+    basis = rng.standard_normal((32, 128)).astype(np.float32)
+    got = np.asarray(
+        pallas_decode_ola(jnp.asarray(codes), jnp.asarray(basis), hop=32,
+                          interpret=True)
+    )
+    frames = jnp.matmul(jnp.asarray(codes), jnp.asarray(basis))
+    want = np.asarray(overlap_add(frames, 32))
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_pallas_ola_matches_reference(rng):
+    frames = rng.standard_normal((1, 40, 128)).astype(np.float32)
+    got = np.asarray(pallas_overlap_add(jnp.asarray(frames), hop=32, interpret=True))
+    want = np.asarray(overlap_add(jnp.asarray(frames), 32))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_framed_matmul_grads_match_jnp(rng):
+    import jax
+
+    x = jnp.asarray(rng.standard_normal((1, 1024)), jnp.float32)
+    basis = jnp.asarray(rng.standard_normal((128, 32)), jnp.float32)
+
+    def loss_pl(x, b):
+        return jnp.sum(framed_matmul(x, b, hop=32, interpret=True) ** 2)
+
+    def loss_ref(x, b):
+        return jnp.sum(jnp.matmul(frame_signal(x, 128, 32), b) ** 2)
+
+    gx_p, gb_p = jax.grad(loss_pl, argnums=(0, 1))(x, basis)
+    gx_r, gb_r = jax.grad(loss_ref, argnums=(0, 1))(x, basis)
+    np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_r), atol=1e-2, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gb_p), np.asarray(gb_r), atol=1e-2, rtol=1e-4)
+
+
+def test_decode_ola_grads_match_jnp(rng):
+    import jax
+
+    codes = jnp.asarray(rng.standard_normal((1, 30, 16)), jnp.float32)
+    basis = jnp.asarray(rng.standard_normal((16, 128)), jnp.float32)
+
+    def loss_pl(c, b):
+        return jnp.sum(pallas_decode_ola(c, b, hop=32, length=900, interpret=True) ** 2)
+
+    def loss_ref(c, b):
+        return jnp.sum(overlap_add(jnp.matmul(c, b), 32, length=900) ** 2)
+
+    gc_p, gb_p = jax.grad(loss_pl, argnums=(0, 1))(codes, basis)
+    gc_r, gb_r = jax.grad(loss_ref, argnums=(0, 1))(codes, basis)
+    np.testing.assert_allclose(np.asarray(gc_p), np.asarray(gc_r), atol=1e-2, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gb_p), np.asarray(gb_r), atol=1e-2, rtol=1e-4)
