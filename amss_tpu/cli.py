@@ -45,6 +45,8 @@ def _build_recipe(args, store):
         kwargs["n_train_speakers"] = len(store.speakers)
     if args.recipe == "c2" and getattr(args, "pretrained_front", None):
         kwargs["pretrained_front"] = args.pretrained_front
+    if args.recipe == "enh":
+        kwargs["base_run"] = args.base_run
     recipe = factory(**kwargs)
 
     tover = {
@@ -190,10 +192,11 @@ def main(argv=None):
                      ("separate", cmd_separate)]:
         p = sub.add_parser(name)
         p.add_argument("--recipe", required=True,
-                       choices=["c1", "c2_pretrain", "c2", "c3", "c4", "c5"])
+                       choices=["c1", "c2_pretrain", "c2", "c3", "c4", "c5", "enh"])
         p.add_argument("--corpus", required=True)
         p.add_argument("--workdir", default="runs")
         p.add_argument("--pretrained-front")
+        p.add_argument("--base-run", help="frozen base separator run dir (enh)")
         p.add_argument("--run-dir", help="explicit run directory (evaluate/separate)")
         p.add_argument("--resume", action="store_true")
         _add_train_overrides(p)

@@ -88,6 +88,22 @@ def c5_streaming(**over) -> RecipeConfig:
     )
 
 
+def enh_dpcl(base_run: str | None = None, **over) -> RecipeConfig:
+    """Enhancement/refinement stage (SURVEY.md §2.5 recipe 4, Isik et al.
+    second-stage): small BLSTM refines a frozen base separator's estimates."""
+    return RecipeConfig(
+        name="enh_dpcl",
+        model=ModelConfig(
+            kind="enhance",
+            front=_STFT,
+            sep=SeparatorConfig(hidden=128, layers=1, embed_dim=20),
+            nb_speakers=2,
+        ),
+        train=TrainConfig(**{"batch_size": 8, "chunk_samples": 16384, "lr": 3e-4, **over}),
+        base_run=base_run,
+    )
+
+
 ALL_RECIPES = {
     "c1": c1_stft_dpcl,
     "c2_pretrain": c2_pretrain_adapt,
@@ -95,4 +111,5 @@ ALL_RECIPES = {
     "c3": c3_l41,
     "c4": c4_chimera_3mix,
     "c5": c5_streaming,
+    "enh": enh_dpcl,
 }

@@ -1,0 +1,99 @@
+"""Enhancement / refinement stage (second-stage network).
+
+Capability parity: the reference's enhancement recipe (SURVEY.md §2.5 trainer
+row: "(4) enhancement/refinement stage"; §3.1-3.3 recipe family), after the
+DPCL+ second-stage enhancement of Isik et al. 2016 (SURVEY.md §2.9): a frozen
+base separator produces first-pass estimates; a small BLSTM sees
+[mix features ; estimate features] per source and predicts a refined soft
+mask over the MIXTURE representation.
+
+TPU design: the per-source refinement folds sources into the batch axis
+(B·S rows through one BLSTM — bigger MXU batches, no per-source loop), and
+the frozen base runs under stop_gradient inside the same jit program, so the
+whole two-stage pipeline stays device-resident.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from amss_tpu.models.base import SeparatorBase, _EPS
+from amss_tpu.models.blstm import _init_dense, dense, init_blstm_stack, blstm_stack
+from amss_tpu.models.chimera import msa_pit_loss
+from amss_tpu.models.front import instance_norm, vad_weights
+from amss_tpu.utils.config import ModelConfig
+
+
+class EnhancerModel:
+    """Refines a frozen base separator's estimates."""
+
+    def __init__(self, cfg: ModelConfig, base_model, base_params):
+        assert cfg.kind == "enhance"
+        self.cfg = cfg
+        self.base = base_model
+        self.base_params = jax.tree_util.tree_map(jax.lax.stop_gradient, base_params)
+        self.front = base_model.front  # same analysis front as the base
+
+    def init(self, key) -> dict:
+        c = self.cfg
+        kt, kp = jax.random.split(key)
+        f = c.front.feature_dim
+        return {
+            "separator": {
+                "blstm": init_blstm_stack(kt, 2 * f, c.sep.hidden, c.sep.layers),
+                "proj": _init_dense(kp, 2 * c.sep.hidden, f),
+            }
+        }
+
+    def _compute_dtype(self):
+        return jnp.bfloat16 if self.cfg.sep.compute_dtype == "bfloat16" else jnp.float32
+
+    def _refined_masks(self, params, mix_codes, est_codes):
+        """mix_codes [B,T,F], est_codes [B,S,T,F] -> masks [B,T,F,S]."""
+        b, s, t, f = est_codes.shape
+        mixf = jnp.log(mix_codes + _EPS)
+        estf = jnp.log(est_codes + _EPS)
+        pairs = jnp.concatenate(
+            [jnp.broadcast_to(mixf[:, None], estf.shape), estf], axis=-1
+        )  # [B, S, T, 2F]
+        flat = instance_norm(pairs.reshape(b * s, t, 2 * f))
+        h = blstm_stack(
+            params["separator"]["blstm"],
+            flat,
+            compute_dtype=self._compute_dtype(),
+            remat=self.cfg.sep.remat,
+        )
+        m = jax.nn.sigmoid(dense(params["separator"]["proj"], h, self._compute_dtype()))
+        return jnp.moveaxis(m.reshape(b, s, t, f), 1, -1)  # [B, T, F, S]
+
+    def _base_separate_codes(self, mix):
+        """Frozen first pass: mixture -> (mix codes, aux, est codes [B,S,T,F])."""
+        est = self.base.separate(self.base_params, mix)
+        est = jax.lax.stop_gradient(est)
+        codes, aux = self.front.encode(self.base_params["front"], mix)
+        est_codes, _ = self.front.encode(self.base_params["front"], est)
+        return codes, aux, est_codes
+
+    def loss(self, params: dict, sources: jnp.ndarray):
+        mix = jnp.sum(sources, axis=1)
+        codes, _, est_codes = self._base_separate_codes(mix)
+        src_codes, _ = self.front.encode(self.base_params["front"], sources)
+        masks = self._refined_masks(params, codes, est_codes)
+        w = vad_weights(codes, self.cfg.vad_threshold_db)
+        l = msa_pit_loss(masks, codes, src_codes, w)
+        return l, {"enhance_msa": l}
+
+    def loss_from_batch(self, params, batch):
+        return self.loss(params, batch["sources"])
+
+    def separate(self, params: dict, mix: jnp.ndarray, frame_mask=None):
+        """Two-stage: frozen base -> refined soft masks on the mixture."""
+        length = mix.shape[-1]
+        codes, aux, est_codes = self._base_separate_codes(mix)
+        masks = self._refined_masks(params, codes, est_codes)
+        masked = jnp.moveaxis(codes[..., None] * masks, -1, 1)
+        aux_b = {
+            k: (v[:, None] if isinstance(v, jnp.ndarray) else v) for k, v in aux.items()
+        }
+        return self.front.decode(self.base_params["front"], masked, aux_b, length)

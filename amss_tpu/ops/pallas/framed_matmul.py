@@ -76,7 +76,7 @@ def _framed_matmul_padded(xt, basis_pad, hop: int, interpret: bool = False):
         kernel,
         grid=(b, n_j),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # xT stays in HBM; manual DMA
+            pl.BlockSpec(memory_space=pl.ANY),  # xT stays in HBM; manual DMA
             pl.BlockSpec((win, k_pad), lambda b, j: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(

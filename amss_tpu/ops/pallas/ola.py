@@ -71,7 +71,7 @@ def _decode_ola_padded(codes_pad, basis, hop: int, interpret: bool = False):
         kernel,
         grid=(b, n_j),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((k, win), lambda b, j: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(

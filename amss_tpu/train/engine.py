@@ -38,7 +38,7 @@ from amss_tpu.utils.config import ModelConfig, RecipeConfig, run_id
 from amss_tpu.utils.logging import MetricWriter
 
 
-def make_model(cfg: ModelConfig):
+def make_model(cfg: ModelConfig, base_run: str | None = None):
     if cfg.kind == "dpcl":
         return DPCLModel(cfg)
     if cfg.kind == "l41":
@@ -47,7 +47,38 @@ def make_model(cfg: ModelConfig):
         return ChimeraModel(cfg)
     if cfg.kind == "adapt_ae":
         return AdaptAutoencoder(cfg)
+    if cfg.kind == "enhance":
+        from amss_tpu.models.enhance import EnhancerModel
+
+        if not base_run:
+            raise ValueError("enhance model needs recipe.base_run (run dir)")
+        base_model, base_params = load_model_from_run(base_run)
+        return EnhancerModel(cfg, base_model, base_params)
     raise ValueError(f"unknown model kind {cfg.kind!r}")
+
+
+def load_model_from_run(run_dir: str):
+    """Rebuild a trained model from a run dir (config.json + best ckpt)."""
+    import json
+
+    import jax as _jax
+
+    from amss_tpu.utils.config import recipe_from_dict
+
+    with open(os.path.join(run_dir, "config.json")) as f:
+        recipe = recipe_from_dict(json.load(f))
+    model = make_model(recipe.model, base_run=recipe.base_run)
+    target = {"params": model.init(_jax.random.PRNGKey(0))}
+    import flax.serialization as fser
+
+    name = "ckpt_best.msgpack"
+    path = os.path.join(run_dir, name)
+    if not os.path.exists(path):
+        path = os.path.join(run_dir, "ckpt_latest.msgpack")
+    with open(path, "rb") as f:
+        raw = fser.msgpack_restore(f.read())
+    params = fser.from_state_dict(target["params"], fser.to_state_dict(raw["params"]))
+    return model, params
 
 
 class Trainer:
@@ -62,7 +93,7 @@ class Trainer:
         self.recipe = recipe
         self.rid = run_id(recipe)
         self.dir = run_dir or os.path.join(workdir, f"{recipe.name}_{self.rid}")
-        self.model = make_model(recipe.model)
+        self.model = make_model(recipe.model, base_run=recipe.base_run)
         self.mixer = Mixer(
             store,
             nb_speakers=recipe.model.nb_speakers,
@@ -129,9 +160,22 @@ class Trainer:
             out["speaker_ids"] = jax.device_put(batch.speaker_ids, sh)
         return out
 
+    def _write_config(self):
+        """Run-dir provenance: the full recipe as config.json, so downstream
+        stages (enhancement, evaluation) can rebuild this model from the dir
+        alone (the reference's run-id/log-dir convention, SURVEY.md §5.6)."""
+        import json
+
+        from amss_tpu.utils.config import recipe_to_dict
+
+        os.makedirs(self.dir, exist_ok=True)
+        with open(os.path.join(self.dir, "config.json"), "w") as f:
+            json.dump(recipe_to_dict(self.recipe), f, indent=1)
+
     # -- fit loop -------------------------------------------------------------
     def fit(self, state: dict | None = None, log_every: int = 50) -> dict:
         r = self.recipe.train
+        self._write_config()
         if state is None:
             state = self.init_state()
         if self._step_fn is None:
@@ -177,7 +221,27 @@ class Trainer:
             losses.append(float(next(iter(metrics.values()))))
         vloss = float(np.mean(losses))
         self.writer.scalars(step + 1, {"valid/loss": vloss})
+        self._image_summaries(params, step)
         return vloss
+
+    def _image_summaries(self, params, step):
+        """Spectrogram/mask heatmaps on one valid mixture (SURVEY.md §5.5)."""
+        if not hasattr(self.model, "front"):
+            return
+        try:
+            hb = self.mixer.batch("valid", 0, 1)
+            mix = jnp.asarray(hb.sources.sum(axis=1))
+            codes, _ = self.model.front.encode(params["front"], mix)
+            feats = self.model.front.features(params["front"], codes)
+            self.writer.image(step + 1, "valid/mix_log_spectrogram",
+                              np.asarray(feats[0]).T)
+            if hasattr(self.model, "separate"):
+                est = self.model.separate(params, mix)
+                ecodes, _ = self.model.front.encode(params["front"], est[:, 0])
+                self.writer.image(step + 1, "valid/est0_log_spectrogram",
+                                  np.log(np.asarray(ecodes[0]).T + 1e-7))
+        except Exception:
+            pass  # summaries are best-effort; never kill training
 
     def restore(self, best: bool = False) -> dict:
         target = self.init_state()

@@ -85,10 +85,30 @@ class RecipeConfig:
     # end-to-end finetune: path/run-id of a pretrained adapt front to restore
     pretrained_front: str | None = None
     freeze_front_steps: int = 0
+    # enhancement stage: run dir of the frozen base separator (its config.json
+    # + best checkpoint rebuild the first-pass model)
+    base_run: str | None = None
 
 
 def _as_dict(cfg) -> dict:
     return dataclasses.asdict(cfg)
+
+
+def recipe_to_dict(cfg: RecipeConfig) -> dict:
+    return _as_dict(cfg)
+
+
+def recipe_from_dict(d: dict) -> RecipeConfig:
+    """Rebuild a RecipeConfig from its asdict form (run-dir config.json)."""
+    d = dict(d)
+    model = dict(d.pop("model"))
+    front = FrontConfig(**model.pop("front"))
+    sep = SeparatorConfig(**model.pop("sep"))
+    return RecipeConfig(
+        model=ModelConfig(front=front, sep=sep, **model),
+        train=TrainConfig(**d.pop("train")),
+        **d,
+    )
 
 
 def run_id(cfg: RecipeConfig) -> str:

@@ -91,6 +91,66 @@ def main():
     l = float(l)
     print(f"OK  dpcl_train_step on TPU: loss={l:.4f}, compile+run {time.perf_counter()-t0:.1f}s")
 
+    # --- optional full model-zoo pass (--full): every family, tiny sizes ----
+    if "--full" in sys.argv:
+        import dataclasses
+
+        import optax
+
+        from amss_tpu.configs.recipes import (
+            c2_adapt_dpcl,
+            c2_pretrain_adapt,
+            c3_l41,
+            c4_chimera_3mix,
+        )
+
+        def tiny(recipe):
+            sep = dataclasses.replace(
+                recipe.model.sep, hidden=32, layers=1, embed_dim=8
+            )
+            return dataclasses.replace(recipe.model, sep=sep)
+
+        for name, mcfg, s in [
+            ("c2_pretrain", tiny(c2_pretrain_adapt()), 2),
+            ("c2_adapt_dpcl", tiny(c2_adapt_dpcl()), 2),
+            ("c3_l41", tiny(c3_l41(n_train_speakers=8)), 2),
+            ("c4_chimera", tiny(c4_chimera_3mix()), 3),
+        ]:
+            m = make_model(mcfg)
+            p = m.init(jax.random.PRNGKey(0))
+            srcs = jnp.asarray(
+                rng.standard_normal((2, s, 4096)) * 0.3, jnp.float32
+            )
+            batch = {"sources": srcs}
+            if mcfg.kind == "l41":
+                batch["speaker_ids"] = jnp.zeros((2, s), jnp.int32)
+            txm = optax.adam(1e-3)
+            om = txm.init(p)
+
+            @jax.jit
+            def stepm(p, o, batch=batch, m=m, txm=txm):
+                (l, _), g = jax.value_and_grad(m.loss_from_batch, has_aux=True)(
+                    p, batch
+                )
+                up, o = txm.update(g, o, p)
+                return optax.apply_updates(p, up), o, l
+
+            t0 = time.perf_counter()
+            p, om, l = stepm(p, om)
+            lv = float(l)
+            print(f"OK  {name} train step on TPU: loss={lv:.4f}, "
+                  f"{time.perf_counter()-t0:.1f}s")
+            ok &= np.isfinite(lv)
+            if hasattr(m, "separate") and mcfg.kind != "adapt_ae":
+                mixv = jnp.sum(srcs, axis=1)
+                kw = {}
+                if mcfg.kind == "l41":
+                    kw["speaker_ids"] = batch["speaker_ids"]
+                e = m.separate(p, mixv, **kw)
+                e_np = np.asarray(e)
+                print(f"OK  {name} separate on TPU: {e_np.shape}")
+                ok &= np.isfinite(e_np).all()
+
     print("TPU CHECK", "PASS" if ok else "FAIL")
     sys.exit(0 if ok else 1)
 
