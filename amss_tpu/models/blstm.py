@@ -135,6 +135,77 @@ def init_blstm_stack(key, n_in: int, hidden: int, layers: int) -> list[dict]:
     return stack
 
 
+def _bilstm_fused_scan(
+    params: dict,  # {"fwd": layer params, "bwd": layer params}
+    x: jnp.ndarray,  # [B, T, In]
+    mask: jnp.ndarray | None,
+    compute_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Both directions in ONE lax.scan: direction is a leading batch axis of a
+    batched matmul, so each sequential step runs a single fused
+    [2, B, H] x [2, H, 4H] dot_general instead of two separate scans — halves
+    the scan-step launch overhead that dominates BLSTM time on TPU."""
+    b, t, _ = x.shape
+    hidden = params["fwd"]["wh"].shape[0]
+
+    wx = jnp.stack([params["fwd"]["wx"], params["bwd"]["wx"]]).astype(compute_dtype)
+    wh = jnp.stack([params["fwd"]["wh"], params["bwd"]["wh"]]).astype(compute_dtype)
+    bias = jnp.stack([params["fwd"]["b"], params["bwd"]["b"]])  # [2, 4H]
+
+    xd = jnp.stack([x, jnp.flip(x, axis=1)])  # [2, B, T, In]
+    # Hoisted input projection: one batched [2, B*T, 4H] MXU matmul.
+    xproj = (
+        jnp.einsum(
+            "dbti,dig->dbtg",
+            xd.astype(compute_dtype),
+            wx,
+            preferred_element_type=jnp.float32,
+        )
+        + bias[:, None, None, :]
+    )
+    xproj_t = jnp.moveaxis(xproj, 2, 0)  # [T, 2, B, 4H]
+    if mask is not None:
+        md = jnp.stack([mask, jnp.flip(mask, axis=1)])  # [2, B, T]
+        mask_t = jnp.moveaxis(md, 2, 0)[..., None]  # [T, 2, B, 1]
+        xs = (xproj_t, mask_t)
+    else:
+        xs = xproj_t
+
+    def step(carry, inputs):
+        h, c = carry  # [2, B, H] each
+        if mask is None:
+            gates_in, m = inputs, None
+        else:
+            gates_in, m = inputs
+        gates = gates_in + jnp.einsum(
+            "dbh,dhg->dbg",
+            h.astype(compute_dtype),
+            wh,
+            preferred_element_type=jnp.float32,
+        )
+        i = jax.nn.sigmoid(gates[..., :hidden])
+        f = jax.nn.sigmoid(gates[..., hidden : 2 * hidden])
+        g = jnp.tanh(gates[..., 2 * hidden : 3 * hidden])
+        o = jax.nn.sigmoid(gates[..., 3 * hidden :])
+        c_new = f * c + i * g
+        h_new = o * jnp.tanh(c_new)
+        if m is not None:
+            c_new = jnp.where(m > 0, c_new, c)
+            h_new = jnp.where(m > 0, h_new, h)
+            out = jnp.where(m > 0, h_new, 0.0)
+        else:
+            out = h_new
+        return (h_new, c_new), out
+
+    init = (
+        jnp.zeros((2, b, hidden), jnp.float32),
+        jnp.zeros((2, b, hidden), jnp.float32),
+    )
+    _, out_t = jax.lax.scan(step, init, xs)  # [T, 2, B, H]
+    out = jnp.moveaxis(out_t, 0, 2)  # [2, B, T, H]
+    return jnp.concatenate([out[0], jnp.flip(out[1], axis=1)], axis=-1)
+
+
 def blstm_stack(
     stack: list[dict],
     x: jnp.ndarray,  # [B, T, F]
@@ -145,9 +216,7 @@ def blstm_stack(
     """Run the BLSTM stack -> [B, T, 2*hidden]."""
 
     def layer(params, h):
-        fwd = _lstm_scan(params["fwd"], h, mask, reverse=False, compute_dtype=compute_dtype)
-        bwd = _lstm_scan(params["bwd"], h, mask, reverse=True, compute_dtype=compute_dtype)
-        return jnp.concatenate([fwd, bwd], axis=-1)
+        return _bilstm_fused_scan(params, h, mask, compute_dtype=compute_dtype)
 
     layer_fn = jax.checkpoint(layer) if remat else layer
     h = x

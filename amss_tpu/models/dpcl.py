@@ -97,6 +97,8 @@ class DPCLModel(SeparatorBase):
         mix: jnp.ndarray,
         kmeans_iters: int = 10,
         frame_mask: jnp.ndarray | None = None,
+        soft_masks: bool = True,
+        tau: float = 0.25,
     ):
         """mix [B, T] -> separated [B, S, T], fully on device (no host k-means).
 
@@ -115,8 +117,17 @@ class DPCLModel(SeparatorBase):
             w = w * frame_mask[..., None]
         flat_v = v.reshape(b, -1, c.sep.embed_dim)
         flat_w = w.reshape(b, -1)
-        _, assign = kmeans(flat_v, k=c.nb_speakers, iters=kmeans_iters, weights=flat_w)
-        masks = _one_hot_last(assign, c.nb_speakers, codes.dtype).reshape(
-            *codes.shape, c.nb_speakers
+        cent, assign = kmeans(
+            flat_v, k=c.nb_speakers, iters=kmeans_iters, weights=flat_w
         )
+        if soft_masks:
+            from amss_tpu.ops.kmeans import soft_assignments
+
+            masks = soft_assignments(flat_v, cent, tau=tau).reshape(
+                *codes.shape, c.nb_speakers
+            )
+        else:
+            masks = _one_hot_last(assign, c.nb_speakers, codes.dtype).reshape(
+                *codes.shape, c.nb_speakers
+            )
         return self.apply_masks_and_decode(params, codes, aux, masks, length)

@@ -43,7 +43,10 @@ def _pallas_istft(ri: jnp.ndarray, win: int, hop: int, length: int) -> jnp.ndarr
     nf = ri.shape[-2]
     wsq = np.tile((window * window)[None, :], (nf, 1))
     norm = overlap_add(jnp.asarray(wsq), hop, length=length)
-    return y / jnp.maximum(norm, 1e-8)
+    # Relative clamp: see ops/stft.istft_ri — edge norms ~0 would blow up
+    # masked (inconsistent) spectra.
+    floor = 1e-2 * jnp.max(norm)
+    return y / jnp.maximum(norm, floor)
 
 
 class STFTFrontEnd:

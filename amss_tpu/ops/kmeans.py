@@ -63,6 +63,20 @@ def _kmeans_single(
     return c, assign
 
 
+def soft_assignments(
+    x: jnp.ndarray, centroids: jnp.ndarray, tau: float = 0.25
+) -> jnp.ndarray:
+    """Distance-softmax soft cluster masks: ``[..., N, E] x [..., K, E] ->
+    [..., N, K]``.  tau is relative to the mean point-to-centroid distance, so
+    the sharpness is scale-free (embeddings are unit-norm-ish)."""
+    if x.ndim == 3:
+        d = jax.vmap(_pairwise_sq_dist)(x, centroids)
+    else:
+        d = _pairwise_sq_dist(x, centroids)
+    scale = jnp.mean(d, axis=(-2, -1), keepdims=True) + _EPS
+    return jax.nn.softmax(-d / (tau * scale), axis=-1)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "iters"))
 def kmeans(
     x: jnp.ndarray,
