@@ -119,10 +119,23 @@ class Trainer:
             )
         return {"params": params, "opt_state": self.tx.init(params), "step": 0}
 
+    @staticmethod
+    def _dequantize(batch: dict) -> dict:
+        """int16 wire format -> float32 on device (inside jit).  Source audio
+        is 16-bit PCM to begin with, and halving host->HBM bytes matters: the
+        tunnel transfer, not compute, bounds step time (11 ms device step vs
+        ~50 ms f32 transfer at batch 16)."""
+        out = dict(batch)
+        if "sources_q" in out:
+            out["sources"] = out.pop("sources_q").astype(jnp.float32) * (1.0 / 32767.0)
+        return out
+
     def _build_step(self):
         model, tx = self.model, self.tx
 
         def step(params, opt_state, batch, front_grad_scale):
+            batch = Trainer._dequantize(batch)
+
             def loss_fn(p):
                 return model.loss_from_batch(p, batch)
 
@@ -148,14 +161,15 @@ class Trainer:
         )
 
         def valid(params, batch):
-            _, metrics = model.loss_from_batch(params, batch)
+            _, metrics = model.loss_from_batch(params, Trainer._dequantize(batch))
             return metrics
 
         self._valid_fn = jax.jit(valid, in_shardings=(rep, data), out_shardings=rep)
 
     def _device_batch(self, batch):
         sh = batch_sharding(self.mesh)
-        out = {"sources": jax.device_put(batch.sources, sh)}
+        q = np.clip(batch.sources * 32767.0, -32767.0, 32767.0).astype(np.int16)
+        out = {"sources_q": jax.device_put(q, sh)}
         if self.recipe.model.kind == "l41":
             out["speaker_ids"] = jax.device_put(batch.speaker_ids, sh)
         return out

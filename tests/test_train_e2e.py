@@ -39,11 +39,11 @@ def test_fit_reduces_loss_and_resumes(tmp_path):
     # initial loss
     state0 = tr.init_state()
     l0, _ = tr.model.loss_from_batch(
-        state0["params"], tr._device_batch(tr.mixer.batch("valid", 0, 2))
+        state0["params"], tr._dequantize(tr._device_batch(tr.mixer.batch("valid", 0, 2)))
     )
     state = tr.fit()
     l1, _ = tr.model.loss_from_batch(
-        state["params"], tr._device_batch(tr.mixer.batch("valid", 0, 2))
+        state["params"], tr._dequantize(tr._device_batch(tr.mixer.batch("valid", 0, 2)))
     )
     assert float(l1) < float(l0)
 
