@@ -5,9 +5,11 @@ SURVEY.md §2.1, §3.1).  TPU-first differences:
 
   * The host only GATHERS per-speaker source chunks; the mixture is summed on
     device inside the jit step (BASELINE.json:5 "device-side mixing").
-  * Iteration is stateless-deterministic: batch ``i`` of epoch ``e`` is a pure
-    function of (seed, split, e, i), so a preempted job resumes exactly by
-    replaying the step counter (SURVEY.md §5.3) — no RNG state to checkpoint.
+  * Iteration is stateless-deterministic: batch ``i`` of epoch ``e`` on host
+    ``h`` is a pure function of (seed, split, e, i, h), so a preempted job
+    resumes exactly by replaying the step counter (SURVEY.md §5.3) — no RNG
+    state to checkpoint.  (host=0 yields the identical stream to the
+    pre-multi-host contract: trailing-zero SeedSequence words are stripped.)
 """
 
 from __future__ import annotations
@@ -86,17 +88,28 @@ class Mixer:
     def n_train_speakers(self) -> int:
         return len(self.split_speakers["train"])
 
-    def batch(self, split: str, step: int, batch_size: int) -> Batch:
-        """Deterministic batch: pure function of (seed, split, step).
+    def batch(
+        self, split: str, step: int, batch_size: int, host: int = 0
+    ) -> Batch:
+        """Deterministic batch: pure function of (seed, split, step, host).
 
         Selection (speakers, offsets, gains) is drawn here in numpy — one
         place owns the determinism contract; the memory-bound gather+scale
         runs in the native C++ kernel when available (data/native.py), with a
         bit-identical numpy fallback.
+
+        ``host`` decorrelates the per-process streams in multi-host DP
+        (SURVEY.md §2.7: per-host Mixer shards over DCN): each process draws
+        an INDEPENDENT stream for its LOCAL slice of the global batch (pass
+        jax.process_index() and batch_size = global // process_count; the
+        Trainer assembles the global array via
+        jax.make_array_from_process_local_data).  Streams are independent,
+        not partitioned — the same chunk may appear on two hosts, which is
+        statistically fine for random mixing.
         """
         assert split in _SPLITS
         rng = np.random.default_rng(
-            np.random.SeedSequence([self.seed, _SPLITS.index(split), step])
+            np.random.SeedSequence([self.seed, _SPLITS.index(split), step, host])
         )
         speakers = self.split_speakers[split]
         ids = np.empty((batch_size, self.s), np.int32)
@@ -127,8 +140,11 @@ class Mixer:
             gains=gains,
         )
 
-    def epoch(self, split: str, steps: int, batch_size: int, epoch: int = 0):
-        """Yield `steps` deterministic batches for this epoch."""
+    def epoch(
+        self, split: str, steps: int, batch_size: int, epoch: int = 0, host: int = 0
+    ):
+        """Yield `steps` deterministic batches for this epoch (local shard of
+        size ``batch_size`` when ``host``/multi-process — see batch())."""
         base = epoch * steps
         for i in range(steps):
-            yield self.batch(split, base + i, batch_size)
+            yield self.batch(split, base + i, batch_size, host=host)

@@ -13,7 +13,7 @@ RecipeConfig.  TPU-first:
     with a 1-device mesh.
   * Front freezing for finetune warm-up (SURVEY.md §3.3) is a traced scalar
     gradient gate — no recompilation when it flips.
-  * Deterministic resume: the Mixer is stateless in (seed, step), so restoring
+  * Deterministic resume: the Mixer is stateless in (seed, step, host), so restoring
     {params, opt_state, step} resumes bit-exact (SURVEY.md §5.3).
 """
 
@@ -167,12 +167,23 @@ class Trainer:
         self._valid_fn = jax.jit(valid, in_shardings=(rep, data), out_shardings=rep)
 
     def _device_batch(self, batch):
+        """Host batch (this process's LOCAL shard) -> device arrays.
+
+        Single-process: a plain sharded device_put.  Multi-host: each process
+        contributes its local slice of the global batch via
+        jax.make_array_from_process_local_data (the JAX-native multi-host
+        input path — SURVEY.md §2.7 per-host input sharding over DCN)."""
         sh = batch_sharding(self.mesh)
         q = np.clip(batch.sources * 32767.0, -32767.0, 32767.0).astype(np.int16)
-        out = {"sources_q": jax.device_put(q, sh)}
+        arrays = {"sources_q": q}
         if self.recipe.model.kind == "l41":
-            out["speaker_ids"] = jax.device_put(batch.speaker_ids, sh)
-        return out
+            arrays["speaker_ids"] = batch.speaker_ids
+        if jax.process_count() == 1:
+            return {k: jax.device_put(v, sh) for k, v in arrays.items()}
+        return {
+            k: jax.make_array_from_process_local_data(sh, v)
+            for k, v in arrays.items()
+        }
 
     def _write_config(self):
         """Run-dir provenance: the full recipe as config.json, so downstream
@@ -199,8 +210,18 @@ class Trainer:
         t0 = time.time()
         from amss_tpu.data.prefetch import Prefetcher
 
+        # Multi-host DP: each process DRAWS only its local slice of the global
+        # batch (independent per-host stream) and contributes it via
+        # make_array_from_process_local_data in _device_batch.
+        n_proc = jax.process_count()
+        if r.batch_size % n_proc != 0:
+            raise ValueError(
+                f"global batch {r.batch_size} not divisible by {n_proc} processes"
+            )
+        local_bs = r.batch_size // n_proc
+        host = jax.process_index()
         batches = Prefetcher(
-            make_batch=lambda s: self.mixer.batch("train", s, r.batch_size),
+            make_batch=lambda s: self.mixer.batch("train", s, local_bs, host=host),
             put_batch=self._device_batch,
             start_step=start,
             end_step=r.steps,
