@@ -174,6 +174,12 @@ def cmd_separate(args):
 
 
 def main(argv=None):
+    try:  # persistent XLA cache: tunnel compiles cost minutes (utils/cache.py)
+        from amss_tpu.utils.cache import enable_compilation_cache
+
+        enable_compilation_cache()
+    except Exception:
+        pass
     ap = argparse.ArgumentParser(prog="amss_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
 

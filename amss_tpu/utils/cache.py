@@ -1,0 +1,24 @@
+"""Persistent XLA compilation cache.
+
+Compiles through the axon tunnel cost minutes (e.g. the grad-of-scan train
+step: ~4 min); the JAX persistent compilation cache amortizes them across
+processes and restarts.  Call early (before first jit execution).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+
+_DEFAULT = os.path.expanduser("~/.cache/amss_tpu_xla")
+
+
+def enable_compilation_cache(directory: str | None = None) -> str:
+    d = directory or os.environ.get("AMSS_XLA_CACHE", _DEFAULT)
+    os.makedirs(d, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", d)
+    # Cache everything, even fast compiles (the tunnel round-trip dominates).
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    return d

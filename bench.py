@@ -24,6 +24,13 @@ import numpy as np
 
 
 def main():
+    from amss_tpu.utils.cache import enable_compilation_cache
+
+    try:  # amortize the ~minutes-long tunnel compiles across bench runs
+        enable_compilation_cache()
+    except Exception:
+        pass
+
     from amss_tpu.configs.recipes import c1_stft_dpcl
     from amss_tpu.infer.streaming import BucketSpec, StreamingSeparator
     from amss_tpu.train.engine import make_model
