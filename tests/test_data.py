@@ -34,6 +34,19 @@ def test_mixer_deterministic(tmp_path):
     assert not np.array_equal(b1.sources, b3.sources)
 
 
+def test_v2_corpus_speechlike(tmp_path, rng):
+    """v2 generator: normalized, non-stationary (has silences), broadband."""
+    from amss_tpu.data.synthetic import synth_speaker_wave_v2
+
+    w = synth_speaker_wave_v2(5, 16000)
+    assert w.dtype == np.float32 and np.abs(w).max() <= 0.5 + 1e-6
+    # syllabic: frame energies span a wide dynamic range
+    fe = (w[: 16000 - 16000 % 400].reshape(-1, 400) ** 2).sum(1)
+    assert fe.max() > 100 * max(fe.min(), 1e-9)
+    # deterministic per seed
+    np.testing.assert_array_equal(w, synth_speaker_wave_v2(5, 16000))
+
+
 def test_splits_disjoint_and_distinct_speakers(tmp_path):
     store = _store(tmp_path)
     m = Mixer(store, nb_speakers=2, chunk_samples=4000)
