@@ -17,6 +17,7 @@ from amss_tpu.models.front import (
     make_front,
     ideal_binary_mask,
     vad_weights,
+    bin_weights,
     instance_norm,
 )
 from amss_tpu.utils.config import ModelConfig
@@ -70,7 +71,7 @@ class SeparatorBase:
         codes, aux = self.front.encode(params["front"], mix)
         src_codes, _ = self.front.encode(params["front"], sources)
         y = ideal_binary_mask(src_codes)  # [B, T', F, S]
-        w = vad_weights(codes, self.cfg.vad_threshold_db)  # [B, T', F]
+        w = bin_weights(codes, self.cfg.weight_kind, self.cfg.vad_threshold_db)
         return mix, codes, aux, y, w
 
     def loss_from_batch(self, params: dict, batch: dict):

@@ -82,10 +82,10 @@ class ChimeraModel(SeparatorBase):
         mix = jnp.sum(sources, axis=1)
         codes, _ = self.front.encode(params["front"], mix)
         src_codes, _ = self.front.encode(params["front"], sources)
-        from amss_tpu.models.front import ideal_binary_mask, vad_weights
+        from amss_tpu.models.front import ideal_binary_mask, bin_weights
 
         y = ideal_binary_mask(src_codes)
-        w = vad_weights(codes, c.vad_threshold_db)
+        w = bin_weights(codes, c.weight_kind, c.vad_threshold_db)
         feats = self.front.features(params["front"], codes)
         v, masks = self.heads(params, feats)
         l_dc = dpcl_loss(v, y, w)

@@ -124,6 +124,21 @@ def vad_weights(
     return (logmag > ref - threshold_db).astype(mix_codes.dtype)
 
 
+def magnitude_weights(mix_codes: jnp.ndarray) -> jnp.ndarray:
+    """Magnitude-ratio bin weights (DPCL+/Chimera++ style): w ∝ |X|,
+    normalized to mean 1 per utterance so loss scales match vad weighting."""
+    mean = jnp.mean(mix_codes, axis=(-2, -1), keepdims=True)
+    return mix_codes / jnp.maximum(mean, _EPS)
+
+
+def bin_weights(mix_codes: jnp.ndarray, kind: str, threshold_db: float) -> jnp.ndarray:
+    if kind == "vad":
+        return vad_weights(mix_codes, threshold_db)
+    if kind == "magnitude":
+        return magnitude_weights(mix_codes)
+    raise ValueError(f"unknown weight_kind {kind!r}")
+
+
 def instance_norm(
     feats: jnp.ndarray, frame_mask: jnp.ndarray | None = None
 ) -> jnp.ndarray:

@@ -58,6 +58,9 @@ class ModelConfig:
     n_train_speakers: int = 0  # L41 centroid table size (0 = not needed)
     chimera_alpha: float = 0.5  # weight on DC loss in Chimera
     vad_threshold_db: float = 40.0  # bins this far below max are weighted out
+    # loss bin weighting: "vad" (binary, classic DPCL) or "magnitude"
+    # (magnitude-ratio, DPCL+/Chimera++ style — emphasizes loud bins)
+    weight_kind: str = "vad"
     # end-to-end finetune (SURVEY.md §3.3): weight of the waveform-domain
     # mixture-reconstruction term added to the separator loss (learned fronts)
     recon_weight: float = 0.0
