@@ -120,25 +120,47 @@ def _trainer_for(args, store, recipe):
     )
 
 
-def cmd_evaluate(args):
-    import numpy as np
+def _load_for_inference(args, store):
+    """(model, params, recipe): from --run-dir's config.json when given (the
+    authoritative record of what was trained), else from the CLI flags."""
+    if getattr(args, "run_dir", None):
+        import json as _json
 
-    from amss_tpu.data.store import SpeakerStore
-    from amss_tpu.infer.evaluate import evaluate_separation
-    from amss_tpu.infer.streaming import StreamingSeparator
-    from amss_tpu.train.engine import Trainer
+        from amss_tpu.train.engine import load_model_from_run
+        from amss_tpu.utils.config import recipe_from_dict
 
-    store = SpeakerStore(args.corpus)
+        model, params = load_model_from_run(args.run_dir)
+        with open(os.path.join(args.run_dir, "config.json")) as f:
+            recipe = recipe_from_dict(_json.load(f))
+        return model, params, recipe
     recipe = _build_recipe(args, store)
     trainer = _trainer_for(args, store, recipe)
     state = trainer.restore(best=True)
+    return trainer.model, state["params"], recipe
 
+
+def cmd_evaluate(args):
+    import numpy as np
+
+    from amss_tpu.data.mixer import Mixer
+    from amss_tpu.data.store import SpeakerStore
+    from amss_tpu.infer.evaluate import evaluate_separation
+    from amss_tpu.infer.streaming import StreamingSeparator
+
+    store = SpeakerStore(args.corpus)
+    model, params, recipe = _load_for_inference(args, store)
+    mixer = Mixer(
+        store,
+        nb_speakers=recipe.model.nb_speakers,
+        chunk_samples=recipe.train.chunk_samples,
+        seed=recipe.train.seed,
+    )
     mixes, refs = [], []
     for i in range(args.n_mixtures):
-        hb = trainer.mixer.batch("test", i, 1)
+        hb = mixer.batch("test", i, 1)
         refs.append(hb.sources[0])
         mixes.append(hb.sources[0].sum(0))
-    sep = StreamingSeparator(trainer.model, state["params"], sample_rate=recipe.sample_rate)
+    sep = StreamingSeparator(model, params, sample_rate=recipe.sample_rate)
     est = sep.separate_all(mixes)
     out = evaluate_separation(
         np.stack(est), np.stack(refs), np.stack(mixes)
@@ -157,11 +179,9 @@ def cmd_separate(args):
     from amss_tpu.train.engine import Trainer
 
     store = SpeakerStore(args.corpus)
-    recipe = _build_recipe(args, store)
-    trainer = _trainer_for(args, store, recipe)
-    state = trainer.restore(best=True)
+    model, params, recipe = _load_for_inference(args, store)
     waves = [_read_wav(p)[0] for p in args.wav]
-    sep = StreamingSeparator(trainer.model, state["params"], sample_rate=recipe.sample_rate)
+    sep = StreamingSeparator(model, params, sample_rate=recipe.sample_rate)
     ests = sep.separate_all(waves)
     os.makedirs(args.out, exist_ok=True)
     for path, est in zip(args.wav, ests):

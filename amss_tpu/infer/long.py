@@ -39,6 +39,7 @@ def separate_long(
         est = model.separate(params, jnp.asarray(mix[None]), **separate_kwargs)
         return np.asarray(est[0])
 
+    overlap = min(overlap, chunk // 4)  # overlap must leave a positive hop
     hop = chunk - overlap
     n_chunks = -(-max(t - overlap, 1) // hop)
     t_pad = (n_chunks - 1) * hop + chunk
@@ -48,8 +49,13 @@ def separate_long(
     starts = [i * hop for i in range(n_chunks)]
     batch = np.stack([mix_p[s : s + chunk] for s in starts])
 
-    fn = jax.jit(lambda p, m: model.separate(p, m, **separate_kwargs))
-    est = np.asarray(fn(params, jnp.asarray(batch)))  # [n_chunks, S, chunk]
+    # Per-model jit cache: a fresh jit(lambda) each call would re-trace and
+    # re-compile every invocation (tunnel compiles cost minutes).
+    cache = model.__dict__.setdefault("_long_jit_cache", {})
+    key = (chunk, tuple(sorted(separate_kwargs.items())))
+    if key not in cache:
+        cache[key] = jax.jit(lambda p, m: model.separate(p, m, **separate_kwargs))
+    est = np.asarray(cache[key](params, jnp.asarray(batch)))  # [n_chunks, S, chunk]
 
     s_dim = est.shape[1]
     perms = list(itertools.permutations(range(s_dim)))

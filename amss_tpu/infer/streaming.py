@@ -72,11 +72,7 @@ class StreamingSeparator:
         self.meter = RTFMeter()
 
     def _frame_count(self, t: int) -> int:
-        f = self.model.cfg.front
-        if f.kind == "stft":
-            return 1 + (t - f.win) // f.hop
-        nf = 1 + (t - f.filter_len) // f.stride
-        return (nf // f.pool)
+        return self.model.cfg.front.frames_for(t)
 
     def _get_fn(self, bucket: int, batch: int):
         """Jitted per static (bucket, batch) shape; first use warms the compile
@@ -103,10 +99,28 @@ class StreamingSeparator:
         """Separate a corpus of variable-length utterances.
 
         Returns per-utterance arrays [S, T_orig], in input order.  Updates
-        self.meter with compute-time/audio-time accounting.
+        self.meter with compute-time/audio-time accounting.  Utterances longer
+        than the largest bucket take the chunked overlap-discard path
+        (infer/long.py) — never truncated.
         """
-        order = sorted(range(len(waves)), key=lambda i: len(waves[i]))
         results: list[np.ndarray | None] = [None] * len(waves)
+
+        # Over-bucket utterances: chunked long-form path, full length kept.
+        max_bucket = self.buckets.lengths[-1]
+        long_idx = [i for i in range(len(waves)) if len(waves[i]) > max_bucket]
+        for i in long_idx:
+            from amss_tpu.infer.long import separate_long
+
+            t0 = time.perf_counter()
+            results[i] = separate_long(
+                self.model, self.params, waves[i], chunk=max_bucket, **self.kw
+            )
+            self.meter.compute_seconds += time.perf_counter() - t0
+            self.meter.audio_seconds += len(waves[i]) / self.sample_rate
+            self.meter.utterances += 1
+
+        bucketable = [i for i in range(len(waves)) if results[i] is None]
+        order = sorted(bucketable, key=lambda i: len(waves[i]))
         group: list[int] = []
 
         def flush(group):

@@ -63,16 +63,16 @@ class SeparatorBase:
     def encode_mix_and_sources(self, params: dict, sources: jnp.ndarray):
         """Device-side mixing + analysis of mixture and sources.
 
-        sources: [B, S, T].  Returns (mix [B,T], mix codes, aux, Y, weights).
-        The mixture is formed ON DEVICE (BASELINE.json:5): the host ships only
-        per-speaker chunks.
+        sources: [B, S, T].  Returns (mix [B,T], mix codes, aux,
+        src codes [B,S,T',F], Y, weights).  The mixture is formed ON DEVICE
+        (BASELINE.json:5): the host ships only per-speaker chunks.
         """
         mix = jnp.sum(sources, axis=1)
         codes, aux = self.front.encode(params["front"], mix)
         src_codes, _ = self.front.encode(params["front"], sources)
         y = ideal_binary_mask(src_codes)  # [B, T', F, S]
         w = bin_weights(codes, self.cfg.weight_kind, self.cfg.vad_threshold_db)
-        return mix, codes, aux, y, w
+        return mix, codes, aux, src_codes, y, w
 
     def loss_from_batch(self, params: dict, batch: dict):
         """Uniform trainer entry point; L41 overrides to use speaker ids."""

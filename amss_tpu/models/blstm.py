@@ -56,70 +56,6 @@ def init_lstm_layer(key, n_in: int, hidden: int) -> dict:
     return p
 
 
-def _lstm_scan(
-    params: dict,
-    x: jnp.ndarray,  # [B, T, In]
-    mask: jnp.ndarray | None,  # [B, T] or None
-    reverse: bool,
-    compute_dtype=jnp.float32,
-) -> jnp.ndarray:
-    b, t, _ = x.shape
-    h4 = params["wh"].shape[1]
-    hidden = h4 // 4
-
-    if reverse:
-        x = jnp.flip(x, axis=1)
-        if mask is not None:
-            mask = jnp.flip(mask, axis=1)
-
-    # Hoisted input projection: one [B*T, 4H] MXU matmul.
-    wx = params["wx"].astype(compute_dtype)
-    xproj = jnp.matmul(
-        x.astype(compute_dtype), wx, preferred_element_type=jnp.float32
-    ) + params["b"]
-    xproj_t = jnp.swapaxes(xproj, 0, 1)  # time-major [T, B, 4H]
-    mask_t = (
-        jnp.swapaxes(mask, 0, 1)[..., None] if mask is not None else None
-    )  # [T, B, 1]
-
-    wh = params["wh"].astype(compute_dtype)
-
-    def step(carry, inputs):
-        h, c = carry
-        if mask_t is None:
-            gates_in = inputs
-            m = None
-        else:
-            gates_in, m = inputs
-        gates = gates_in + jnp.matmul(
-            h.astype(compute_dtype), wh, preferred_element_type=jnp.float32
-        )
-        i = jax.nn.sigmoid(gates[:, :hidden])
-        f = jax.nn.sigmoid(gates[:, hidden : 2 * hidden])
-        g = jnp.tanh(gates[:, 2 * hidden : 3 * hidden])
-        o = jax.nn.sigmoid(gates[:, 3 * hidden :])
-        c_new = f * c + i * g
-        h_new = o * jnp.tanh(c_new)
-        if m is not None:
-            c_new = jnp.where(m > 0, c_new, c)
-            h_new = jnp.where(m > 0, h_new, h)
-            out = jnp.where(m > 0, h_new, 0.0)
-        else:
-            out = h_new
-        return (h_new, c_new), out
-
-    init = (
-        jnp.zeros((b, hidden), jnp.float32),
-        jnp.zeros((b, hidden), jnp.float32),
-    )
-    xs = xproj_t if mask_t is None else (xproj_t, mask_t)
-    _, out_t = jax.lax.scan(step, init, xs)
-    out = jnp.swapaxes(out_t, 0, 1)  # [B, T, H]
-    if reverse:
-        out = jnp.flip(out, axis=1)
-    return out
-
-
 def init_blstm_stack(key, n_in: int, hidden: int, layers: int) -> list[dict]:
     """Per-layer params; layer 0 input n_in, deeper layers input 2*hidden."""
     keys = jax.random.split(key, 2 * layers)

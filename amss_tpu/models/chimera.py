@@ -79,19 +79,20 @@ class ChimeraModel(SeparatorBase):
 
     def loss(self, params: dict, sources: jnp.ndarray) -> tuple[jnp.ndarray, dict]:
         c = self.cfg
-        mix = jnp.sum(sources, axis=1)
-        codes, _ = self.front.encode(params["front"], mix)
-        src_codes, _ = self.front.encode(params["front"], sources)
-        from amss_tpu.models.front import ideal_binary_mask, bin_weights
-
-        y = ideal_binary_mask(src_codes)
-        w = bin_weights(codes, c.weight_kind, c.vad_threshold_db)
+        mix, codes, aux, src_codes, y, w = self.encode_mix_and_sources(params, sources)
         feats = self.front.features(params["front"], codes)
         v, masks = self.heads(params, feats)
         l_dc = dpcl_loss(v, y, w)
         l_mi = msa_pit_loss(masks, codes, src_codes, w)
         l = c.chimera_alpha * l_dc + (1.0 - c.chimera_alpha) * l_mi
-        return l, {"chimera_loss": l, "dc_loss": l_dc, "mi_loss": l_mi}
+        metrics = {"chimera_loss": l, "dc_loss": l_dc, "mi_loss": l_mi}
+        if c.recon_weight > 0.0:  # learned-front mixture-fidelity term (§3.3)
+            recon = self.front.decode(params["front"], codes, aux, mix.shape[-1])
+            l_rec = jnp.mean((recon - mix) ** 2)
+            metrics["recon_l2"] = l_rec
+            l = l + c.recon_weight * l_rec
+            metrics["chimera_loss"] = l
+        return l, metrics
 
     def separate(
         self,

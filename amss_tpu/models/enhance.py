@@ -49,27 +49,32 @@ class EnhancerModel:
     def _compute_dtype(self):
         return jnp.bfloat16 if self.cfg.sep.compute_dtype == "bfloat16" else jnp.float32
 
-    def _refined_masks(self, params, mix_codes, est_codes):
-        """mix_codes [B,T,F], est_codes [B,S,T,F] -> masks [B,T,F,S]."""
+    def _refined_masks(self, params, mix_codes, est_codes, frame_mask=None):
+        """mix_codes [B,T,F], est_codes [B,S,T,F] -> masks [B,T,F,S].
+        frame_mask [B,T] excludes padded frames from norm and recurrence."""
         b, s, t, f = est_codes.shape
         mixf = jnp.log(mix_codes + _EPS)
         estf = jnp.log(est_codes + _EPS)
         pairs = jnp.concatenate(
             [jnp.broadcast_to(mixf[:, None], estf.shape), estf], axis=-1
         )  # [B, S, T, 2F]
-        flat = instance_norm(pairs.reshape(b * s, t, 2 * f))
+        fm = None
+        if frame_mask is not None:
+            fm = jnp.broadcast_to(frame_mask[:, None], (b, s, t)).reshape(b * s, t)
+        flat = instance_norm(pairs.reshape(b * s, t, 2 * f), fm)
         h = blstm_stack(
             params["separator"]["blstm"],
             flat,
+            mask=fm,
             compute_dtype=self._compute_dtype(),
             remat=self.cfg.sep.remat,
         )
         m = jax.nn.sigmoid(dense(params["separator"]["proj"], h, self._compute_dtype()))
         return jnp.moveaxis(m.reshape(b, s, t, f), 1, -1)  # [B, T, F, S]
 
-    def _base_separate_codes(self, mix):
+    def _base_separate_codes(self, mix, frame_mask=None):
         """Frozen first pass: mixture -> (mix codes, aux, est codes [B,S,T,F])."""
-        est = self.base.separate(self.base_params, mix)
+        est = self.base.separate(self.base_params, mix, frame_mask=frame_mask)
         est = jax.lax.stop_gradient(est)
         codes, aux = self.front.encode(self.base_params["front"], mix)
         est_codes, _ = self.front.encode(self.base_params["front"], est)
@@ -90,8 +95,8 @@ class EnhancerModel:
     def separate(self, params: dict, mix: jnp.ndarray, frame_mask=None):
         """Two-stage: frozen base -> refined soft masks on the mixture."""
         length = mix.shape[-1]
-        codes, aux, est_codes = self._base_separate_codes(mix)
-        masks = self._refined_masks(params, codes, est_codes)
+        codes, aux, est_codes = self._base_separate_codes(mix, frame_mask)
+        masks = self._refined_masks(params, codes, est_codes, frame_mask)
         masked = jnp.moveaxis(codes[..., None] * masks, -1, 1)
         aux_b = {
             k: (v[:, None] if isinstance(v, jnp.ndarray) else v) for k, v in aux.items()

@@ -161,8 +161,8 @@ class Trainer:
         )
 
         def valid(params, batch):
-            _, metrics = model.loss_from_batch(params, Trainer._dequantize(batch))
-            return metrics
+            l, metrics = model.loss_from_batch(params, Trainer._dequantize(batch))
+            return {"loss": l, **metrics}  # canonical total-objective key
 
         self._valid_fn = jax.jit(valid, in_shardings=(rep, data), out_shardings=rep)
 
@@ -249,11 +249,21 @@ class Trainer:
 
     def _validate(self, params, step) -> float:
         r = self.recipe.train
+        # L41's centroid table only covers train-split speakers, so a
+        # speaker-disjoint valid split would score untrained centroid rows
+        # (noise).  Validate the enrolled objective on train speakers at
+        # UNSEEN chunk offsets instead (the model's closed-speaker setting).
+        split, offset = (
+            ("train", 5_000_000) if self.recipe.model.kind == "l41" else ("valid", 0)
+        )
+        # Mirror fit()'s multi-host contract: local slice per process.
+        local_bs = r.batch_size // jax.process_count()
+        host = jax.process_index()
         losses = []
         for i in range(r.valid_steps):
-            hb = self.mixer.batch("valid", i, r.batch_size)
+            hb = self.mixer.batch(split, offset + i, local_bs, host=host)
             metrics = self._valid_fn(params, self._device_batch(hb))
-            losses.append(float(next(iter(metrics.values()))))
+            losses.append(float(metrics["loss"]))
         vloss = float(np.mean(losses))
         self.writer.scalars(step + 1, {"valid/loss": vloss})
         self._image_summaries(params, step)

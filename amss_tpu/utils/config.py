@@ -34,10 +34,12 @@ class FrontConfig:
         return self.win // 2 + 1 if self.kind == "stft" else self.n_filters
 
     def frames_for(self, t: int) -> int:
+        """Separator-rate frame count for a length-t signal (the single source
+        of truth — streaming/masking code must call this, not re-derive)."""
         if self.kind == "stft":
             return 1 + (t - self.win) // self.hop
         nf = 1 + (t - self.filter_len) // self.stride
-        return (nf // self.pool) * self.pool // self.pool
+        return nf // self.pool
 
 
 @dataclass(frozen=True)

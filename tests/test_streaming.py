@@ -42,3 +42,21 @@ def test_variable_lengths_roundtrip(rng):
     assert sep.meter.audio_seconds > 0
     assert sep.meter.compute_seconds > 0
     assert sep.meter.compile_seconds > 0  # warmups tracked separately
+
+
+def test_over_bucket_utterance_not_truncated(rng):
+    """Longer-than-largest-bucket input takes the chunked path, full length."""
+    model, params = _model()
+    waves = [
+        rng.standard_normal(1500).astype(np.float32),
+        rng.standard_normal(9000).astype(np.float32),  # > max bucket 4096
+    ]
+    sep = StreamingSeparator(
+        model, params, buckets=BucketSpec(lengths=(2048, 4096)),
+        separate_kwargs={"kmeans_iters": 3},
+    )
+    outs = sep.separate_all(waves)
+    assert outs[0].shape == (2, 1500)
+    assert outs[1].shape == (2, 9000)  # NOT truncated to 4096
+    assert np.isfinite(outs[1]).all()
+    assert sep.meter.utterances == 2
