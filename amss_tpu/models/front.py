@@ -136,6 +136,8 @@ def bin_weights(mix_codes: jnp.ndarray, kind: str, threshold_db: float) -> jnp.n
         return vad_weights(mix_codes, threshold_db)
     if kind == "magnitude":
         return magnitude_weights(mix_codes)
+    if kind == "magvad":  # magnitude-ratio gated by the VAD threshold
+        return magnitude_weights(mix_codes) * vad_weights(mix_codes, threshold_db)
     raise ValueError(f"unknown weight_kind {kind!r}")
 
 
