@@ -98,7 +98,7 @@ class DPCLModel(SeparatorBase):
         kmeans_iters: int = 10,
         frame_mask: jnp.ndarray | None = None,
         soft_masks: bool = True,
-        tau: float = 0.25,
+        tau: float = 0.5,
     ):
         """mix [B, T] -> separated [B, S, T], fully on device (no host k-means).
 
