@@ -53,7 +53,7 @@ def write_wav(path: str, x: np.ndarray, sample_rate: int = 8000):
     """16-bit PCM WAV export (reference wrote separated estimates as WAVs)."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     x = np.clip(x, -1.0, 1.0)
-    pcm = (x * 32767.0).astype(np.int16)
+    pcm = np.round(x * 32767.0).astype(np.int16)
     with wave_mod.open(path, "wb") as w:
         w.setnchannels(1)
         w.setsampwidth(2)
