@@ -75,7 +75,8 @@ def _read_wav(path: str) -> tuple[np.ndarray, int]:
         width = w.getsampwidth()
         raw = w.readframes(n)
     if width == 2:
-        x = np.frombuffer(raw, np.int16).astype(np.float32) / 32768.0
+        # 32767 mirrors write_wav's scale: int16 round-trips bit-exactly.
+        x = np.frombuffer(raw, np.int16).astype(np.float32) / 32767.0
     elif width == 4:
         x = np.frombuffer(raw, np.int32).astype(np.float32) / 2147483648.0
     else:

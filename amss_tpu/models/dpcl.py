@@ -4,8 +4,10 @@ Capability parity: the reference's models/dpcl.py (SURVEY.md §2.3), after
 Hershey et al. 2016 (SURVEY.md §2.9).  BLSTM -> per-TF-bin embedding V (tanh,
 L2-normalized); training minimizes the affinity mismatch ||VV^T - YY^T||_F^2
 in EXPANDED GRAM FORM — E x E and E x S grams only (MXU-sized), never the
-(T'·F)^2 affinity matrix.  Silent bins are weighted out (vad_weights).
-Inference clusters embeddings with on-device k-means (SURVEY.md §2.4).
+(T'·F)^2 affinity matrix.  Loss bins are weighted by cfg.weight_kind (binary
+VAD, magnitude-ratio, or both — models/front.py bin_weights).  Inference
+clusters embeddings with on-device k-means (SURVEY.md §2.4) and applies
+distance-softmax soft masks by default.
 """
 
 from __future__ import annotations
