@@ -22,3 +22,41 @@ capability citations point at SURVEY.md sections instead of reference file:line.
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level API (keeps `import amss_tpu` free of jax init cost):
+
+        amss_tpu.Trainer, amss_tpu.make_model, amss_tpu.StreamingSeparator,
+        amss_tpu.separate_long, amss_tpu.SpeakerStore, amss_tpu.Mixer,
+        amss_tpu.recipes
+    """
+    if name == "Trainer":
+        from amss_tpu.train.engine import Trainer
+
+        return Trainer
+    if name == "make_model":
+        from amss_tpu.train.engine import make_model
+
+        return make_model
+    if name == "StreamingSeparator":
+        from amss_tpu.infer.streaming import StreamingSeparator
+
+        return StreamingSeparator
+    if name == "separate_long":
+        from amss_tpu.infer.long import separate_long
+
+        return separate_long
+    if name == "SpeakerStore":
+        from amss_tpu.data.store import SpeakerStore
+
+        return SpeakerStore
+    if name == "Mixer":
+        from amss_tpu.data.mixer import Mixer
+
+        return Mixer
+    if name == "recipes":
+        from amss_tpu.configs import recipes
+
+        return recipes
+    raise AttributeError(f"module 'amss_tpu' has no attribute {name!r}")
