@@ -4,8 +4,9 @@ Capability parity: the reference's enhancement recipe (SURVEY.md §2.5 trainer
 row: "(4) enhancement/refinement stage"; §3.1-3.3 recipe family), after the
 DPCL+ second-stage enhancement of Isik et al. 2016 (SURVEY.md §2.9): a frozen
 base separator produces first-pass estimates; a small BLSTM sees
-[mix features ; estimate features] per source and predicts a refined soft
-mask over the MIXTURE representation.
+[mix features ; estimate features] per source and predicts a RESIDUAL logit
+correction to the base's implied mask (softmax over sources), identity at
+init — it can only improve on the first pass where the loss asks it to.
 
 TPU design: the per-source refinement folds sources into the batch axis
 (B·S rows through one BLSTM — bigger MXU batches, no per-source loop), and
@@ -39,10 +40,11 @@ class EnhancerModel:
         c = self.cfg
         kt, kp = jax.random.split(key)
         f = c.front.feature_dim
+        proj = _init_dense(kp, 2 * c.sep.hidden, f, scale=1e-3)  # near-zero delta
         return {
             "separator": {
                 "blstm": init_blstm_stack(kt, 2 * f, c.sep.hidden, c.sep.layers),
-                "proj": _init_dense(kp, 2 * c.sep.hidden, f),
+                "proj": proj,
             }
         }
 
@@ -51,7 +53,14 @@ class EnhancerModel:
 
     def _refined_masks(self, params, mix_codes, est_codes, frame_mask=None):
         """mix_codes [B,T,F], est_codes [B,S,T,F] -> masks [B,T,F,S].
-        frame_mask [B,T] excludes padded frames from norm and recurrence."""
+
+        RESIDUAL refinement: the head emits a per-bin logit DELTA added to the
+        base's implied mask logits (log of the first pass's energy share), and
+        the result renormalizes over sources.  The delta projection initializes
+        near zero, so at init the refined masks EQUAL the base masks — the
+        second stage can only move away from the first pass where the loss
+        asks it to (fixes the regression the additive-sigmoid design showed on
+        strong bases).  frame_mask [B,T] excludes padded frames."""
         b, s, t, f = est_codes.shape
         mixf = jnp.log(mix_codes + _EPS)
         estf = jnp.log(est_codes + _EPS)
@@ -69,8 +78,11 @@ class EnhancerModel:
             compute_dtype=self._compute_dtype(),
             remat=self.cfg.sep.remat,
         )
-        m = jax.nn.sigmoid(dense(params["separator"]["proj"], h, self._compute_dtype()))
-        return jnp.moveaxis(m.reshape(b, s, t, f), 1, -1)  # [B, T, F, S]
+        delta = dense(params["separator"]["proj"], h, self._compute_dtype())
+        delta = jnp.moveaxis(delta.reshape(b, s, t, f), 1, -1)  # [B, T, F, S]
+        base_share = jnp.moveaxis(est_codes, 1, -1)  # [B, T, F, S]
+        base_logits = jnp.log(base_share + _EPS)
+        return jax.nn.softmax(base_logits + delta, axis=-1)
 
     def _base_separate_codes(self, mix, frame_mask=None):
         """Frozen first pass: mixture -> (mix codes, aux, est codes [B,S,T,F])."""
