@@ -35,6 +35,13 @@ class EnhancerModel:
         self.base = base_model
         self.base_params = jax.tree_util.tree_map(jax.lax.stop_gradient, base_params)
         self.front = base_model.front  # same analysis front as the base
+        # Front params live in the base for first-stage bases, but in the
+        # base's OWN base when stacking enhancement stages.
+        self.front_params = (
+            self.base_params["front"]
+            if "front" in self.base_params
+            else base_model.front_params
+        )
 
     def init(self, key) -> dict:
         c = self.cfg
@@ -88,14 +95,14 @@ class EnhancerModel:
         """Frozen first pass: mixture -> (mix codes, aux, est codes [B,S,T,F])."""
         est = self.base.separate(self.base_params, mix, frame_mask=frame_mask)
         est = jax.lax.stop_gradient(est)
-        codes, aux = self.front.encode(self.base_params["front"], mix)
-        est_codes, _ = self.front.encode(self.base_params["front"], est)
+        codes, aux = self.front.encode(self.front_params, mix)
+        est_codes, _ = self.front.encode(self.front_params, est)
         return codes, aux, est_codes
 
     def loss(self, params: dict, sources: jnp.ndarray):
         mix = jnp.sum(sources, axis=1)
         codes, _, est_codes = self._base_separate_codes(mix)
-        src_codes, _ = self.front.encode(self.base_params["front"], sources)
+        src_codes, _ = self.front.encode(self.front_params, sources)
         masks = self._refined_masks(params, codes, est_codes)
         w = vad_weights(codes, self.cfg.vad_threshold_db)
         l = msa_pit_loss(masks, codes, src_codes, w)
@@ -113,4 +120,4 @@ class EnhancerModel:
         aux_b = {
             k: (v[:, None] if isinstance(v, jnp.ndarray) else v) for k, v in aux.items()
         }
-        return self.front.decode(self.base_params["front"], masked, aux_b, length)
+        return self.front.decode(self.front_params, masked, aux_b, length)
