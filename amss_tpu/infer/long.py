@@ -25,6 +25,36 @@ import jax.numpy as jnp
 import numpy as np
 
 
+# Static chunk-batch width: every long utterance runs through ONE compiled
+# [CHUNK_BATCH, chunk] program regardless of its length (a dynamic n_chunks
+# batch dim would recompile per distinct utterance length — minutes each
+# through the axon tunnel).
+CHUNK_BATCH = 4
+
+
+def _get_chunk_fn(model, chunk: int, **separate_kwargs):
+    """Per-model jit cache keyed on (chunk, kwargs): a fresh jit(lambda) each
+    call would re-trace and re-compile every invocation."""
+    cache = model.__dict__.setdefault("_long_jit_cache", {})
+    key = (chunk, tuple(sorted(separate_kwargs.items())))
+    if key not in cache:
+        cache[key] = jax.jit(lambda p, m: model.separate(p, m, **separate_kwargs))
+    return cache[key]
+
+
+def warm_long(model, params, chunk: int = 65536, **separate_kwargs) -> float:
+    """Compile the chunked-separation program on zeros; returns the seconds
+    spent, so callers can book it as compile time rather than serving time
+    (the RTF meter must not charge one-time XLA compiles to compute)."""
+    import time
+
+    fn = _get_chunk_fn(model, chunk, **separate_kwargs)
+    t0 = time.perf_counter()
+    out = fn(params, jnp.zeros((CHUNK_BATCH, chunk), jnp.float32))
+    np.asarray(out[0, 0, :4])  # host fetch = real sync through the axon tunnel
+    return time.perf_counter() - t0
+
+
 def separate_long(
     model,
     params,
@@ -49,13 +79,19 @@ def separate_long(
     starts = [i * hop for i in range(n_chunks)]
     batch = np.stack([mix_p[s : s + chunk] for s in starts])
 
-    # Per-model jit cache: a fresh jit(lambda) each call would re-trace and
-    # re-compile every invocation (tunnel compiles cost minutes).
-    cache = model.__dict__.setdefault("_long_jit_cache", {})
-    key = (chunk, tuple(sorted(separate_kwargs.items())))
-    if key not in cache:
-        cache[key] = jax.jit(lambda p, m: model.separate(p, m, **separate_kwargs))
-    est = np.asarray(cache[key](params, jnp.asarray(batch)))  # [n_chunks, S, chunk]
+    fn = _get_chunk_fn(model, chunk, **separate_kwargs)
+    # Fixed-width groups of CHUNK_BATCH (last group zero-padded): static
+    # shapes end-to-end, one compile per chunk size.
+    outs = []
+    for g0 in range(0, n_chunks, CHUNK_BATCH):
+        grp = batch[g0 : g0 + CHUNK_BATCH]
+        n_real = grp.shape[0]
+        if n_real < CHUNK_BATCH:
+            grp = np.concatenate(
+                [grp, np.zeros((CHUNK_BATCH - n_real, chunk), np.float32)]
+            )
+        outs.append(np.asarray(fn(params, jnp.asarray(grp)))[:n_real])
+    est = np.concatenate(outs)  # [n_chunks, S, chunk]
 
     s_dim = est.shape[1]
     perms = list(itertools.permutations(range(s_dim)))

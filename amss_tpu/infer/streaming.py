@@ -108,6 +108,14 @@ class StreamingSeparator:
         # Over-bucket utterances: chunked long-form path, full length kept.
         max_bucket = self.buckets.lengths[-1]
         long_idx = [i for i in range(len(waves)) if len(waves[i]) > max_bucket]
+        if long_idx:
+            # Warm the chunked program on zeros first so first-call XLA compile
+            # (minutes through the tunnel) books as compile, not serving time.
+            from amss_tpu.infer.long import warm_long
+
+            self.meter.compile_seconds += warm_long(
+                self.model, self.params, chunk=max_bucket, **self.kw
+            )
         for i in long_idx:
             from amss_tpu.infer.long import separate_long
 

@@ -35,6 +35,19 @@ class EnhancerModel:
         self.base = base_model
         self.base_params = jax.tree_util.tree_map(jax.lax.stop_gradient, base_params)
         self.front = base_model.front  # same analysis front as the base
+        # The refiner is sized from the BASE's front (self.front.cfg), not the
+        # enhance recipe's own cfg.front: runtime features always come from the
+        # base chain, so a recipe/base front mismatch must not produce an
+        # opaque shape error downstream.
+        self.feature_dim = self.front.cfg.feature_dim
+        if cfg.front.feature_dim != self.feature_dim:
+            import warnings
+
+            warnings.warn(
+                f"enhance recipe front (feature_dim={cfg.front.feature_dim}) "
+                f"differs from base run's front (feature_dim={self.feature_dim}); "
+                "sizing the refiner from the base's front."
+            )
         # Front params live in the base for first-stage bases, but in the
         # base's OWN base when stacking enhancement stages.
         self.front_params = (
@@ -46,7 +59,7 @@ class EnhancerModel:
     def init(self, key) -> dict:
         c = self.cfg
         kt, kp = jax.random.split(key)
-        f = c.front.feature_dim
+        f = self.feature_dim
         proj = _init_dense(kp, 2 * c.sep.hidden, f, scale=1e-3)  # near-zero delta
         return {
             "separator": {

@@ -9,7 +9,7 @@ small (256-1024).  A windowed real DFT is just ``frames @ M`` where
 that XLA tiles straight onto the MXU and fuses with neighbours.  That beats a
 generic FFT at these sizes on this hardware and — crucially — keeps the whole
 front-end expressible as (layout ops + one matmul), which is also exactly the
-shape the fused Pallas kernel takes (ops/pallas/stft_kernel.py).
+shape the fused Pallas kernel takes (ops/pallas/framed_matmul.py).
 
 iSTFT is the transpose: ``[re | im] @ Minv`` then synthesis-window + overlap-add
 + COLA normalization.  Perfect reconstruction is property-tested in

@@ -27,7 +27,11 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from amss_tpu.ckpt.checkpoint import restore_checkpoint, restore_subtree, save_checkpoint
+from amss_tpu.ckpt.checkpoint import (
+    AsyncCheckpointer,
+    restore_checkpoint,
+    restore_subtree,
+)
 from amss_tpu.data.mixer import Mixer
 from amss_tpu.models.adapt import AdaptAutoencoder
 from amss_tpu.models.chimera import ChimeraModel
@@ -77,6 +81,9 @@ def load_model_from_run(run_dir: str):
         path = os.path.join(run_dir, "ckpt_latest.msgpack")
     with open(path, "rb") as f:
         raw = fser.msgpack_restore(f.read())
+    from amss_tpu.ckpt.checkpoint import _split_raw
+
+    raw, _ = _split_raw(raw)
     params = fser.from_state_dict(target["params"], fser.to_state_dict(raw["params"]))
     return model, params
 
@@ -108,6 +115,8 @@ class Trainer:
         self.writer = MetricWriter(self.dir)
         self._step_fn = None
         self._valid_fn = None
+        self._ckpt = AsyncCheckpointer()
+        self._warned_summaries = False
 
     # -- setup ---------------------------------------------------------------
     def init_state(self, seed: int | None = None) -> dict:
@@ -238,12 +247,17 @@ class Trainer:
 
             if (step + 1) % r.valid_every == 0 or step + 1 == r.steps:
                 vloss = self._validate(params, step)
-                save_checkpoint(
-                    self.dir,
-                    {"params": params, "opt_state": opt_state, "step": step + 1},
-                    step=step + 1,
-                    metric=vloss,
-                )
+                # Multi-host: params are replicated, so only process 0 writes —
+                # N hosts racing on the same ckpt path would be N redundant
+                # writes with last-writer-wins manifests.
+                if jax.process_index() == 0:
+                    self._ckpt.save(
+                        self.dir,
+                        {"params": params, "opt_state": opt_state, "step": step + 1},
+                        step=step + 1,
+                        metric=vloss,
+                    )
+        self._ckpt.wait()  # drain async checkpoint writes before returning
         self.writer.flush()
         return {"params": params, "opt_state": opt_state, "step": r.steps}
 
@@ -271,7 +285,7 @@ class Trainer:
 
     def _image_summaries(self, params, step):
         """Spectrogram/mask heatmaps on one valid mixture (SURVEY.md §5.5)."""
-        if not hasattr(self.model, "front"):
+        if not hasattr(self.model, "front") or self._warned_summaries:
             return
         try:
             hb = self.mixer.batch("valid", 0, 1)
@@ -286,9 +300,18 @@ class Trainer:
                 self.writer.image(step + 1, "valid/est0_log_spectrogram",
                                   np.log(np.asarray(ecodes[0]).T + 1e-7))
         except Exception:
-            pass  # summaries are best-effort; never kill training
+            # Best-effort (never kill training), but not silent: real breakage
+            # (e.g. a front API change) must surface at least once per run.
+            if not self._warned_summaries:
+                self._warned_summaries = True
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "image summaries failed; disabling for this run", exc_info=True
+                )
 
     def restore(self, best: bool = False) -> dict:
+        self._ckpt.wait()  # a pending async write must land before reading
         target = self.init_state()
         state, _ = restore_checkpoint(self.dir, target, best=best)
         return state

@@ -6,8 +6,8 @@ state); the failure modes that matter are NaN/Inf blowups and nondeterminism.
   * ``nan_guard()`` — enable jax debug_nans for a scope (training debug runs).
   * ``check_finite(tree)`` — host-side assertion over a pytree of metrics.
   * Determinism is by construction: stateless Mixer (seed, step), fixed-seed
-    param init, no nondeterministic collectives; tests/test_determinism.py
-    locks it.
+    param init, no nondeterministic collectives; locked by the golden tests
+    (tests/test_goldens.py) and the Mixer determinism tests (tests/test_data.py).
 """
 
 from __future__ import annotations

@@ -27,11 +27,17 @@ void amss_batch_fill(float* out, int64_t n_chunks, int64_t T,
   for (int64_t j = 0; j < n_chunks; ++j) {
     const float* src = shards[speaker_idx[j]];
     const int64_t len = shard_lens[speaker_idx[j]];
-    int64_t start = starts[j];
     float g = gains[j];
     float* dst = out + j * T;
+    if (len <= 0) {  // defensive: empty shard -> zero-fill, never read src
+      for (int64_t i = 0; i < T; ++i) dst[i] = 0.0f;
+      continue;
+    }
     int64_t remaining = T;
-    int64_t pos = start;
+    // Clamp into [0, len): a manifest n_samples that disagrees with the
+    // actual .npy must not turn into an out-of-bounds read/negative take.
+    int64_t pos = starts[j] % len;
+    if (pos < 0) pos += len;
     while (remaining > 0) {
       int64_t avail = len - pos;
       int64_t take = avail < remaining ? avail : remaining;

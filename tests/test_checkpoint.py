@@ -4,6 +4,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from amss_tpu.ckpt.checkpoint import (
+    AsyncCheckpointer,
+    read_manifest,
     restore_checkpoint,
     restore_subtree,
     save_checkpoint,
@@ -42,6 +44,44 @@ def test_best_retention(tmp_path):
     save_checkpoint(d, _state(4.0), step=4, metric=0.7)
     best2, bman2 = restore_checkpoint(d, _state(0.0), best=True)
     assert bman2["metric"] == 0.1  # unchanged
+
+
+def test_manifest_embedded_in_blob(tmp_path):
+    """Step/metric ride INSIDE the msgpack blob (one atomic rename), so a
+    stale/missing sidecar .json can never mis-rank ckpt_best."""
+    import os
+
+    d = str(tmp_path / "ckpt")
+    save_checkpoint(d, _state(1.0), step=7, metric=0.25)
+    # Corrupt the sidecars: restore + best-ranking must not care.
+    for n in os.listdir(d):
+        if n.endswith(".json"):
+            os.remove(os.path.join(d, n))
+    m = read_manifest(os.path.join(d, "ckpt_latest.msgpack"))
+    assert m == {"step": 7, "metric": 0.25}
+    _, manifest = restore_checkpoint(d, _state(0.0))
+    assert manifest["step"] == 7
+    # best-ranking reads the embedded meta of the existing best blob
+    save_checkpoint(d, _state(2.0), step=8, metric=0.9)  # worse
+    best, bman = restore_checkpoint(d, _state(0.0), best=True)
+    np.testing.assert_allclose(best["params"]["front"]["w"], 1.0)
+
+
+def test_async_checkpointer(tmp_path):
+    d = str(tmp_path / "ckpt")
+    ck = AsyncCheckpointer()
+    for i in range(3):
+        ck.save(d, _state(float(i + 1)), step=i + 1, metric=1.0 / (i + 1))
+    ck.wait()
+    latest, man = restore_checkpoint(d, _state(0.0))
+    assert man["step"] == 3
+    best, bman = restore_checkpoint(d, _state(0.0), best=True)
+    assert bman["step"] == 3  # metric monotonically improved
+    # reusable after wait()
+    ck.save(d, _state(9.0), step=9, metric=9.0)
+    ck.wait()
+    latest2, man2 = restore_checkpoint(d, _state(0.0))
+    assert man2["step"] == 9
 
 
 def test_partial_restore_front_only(tmp_path):
