@@ -34,6 +34,10 @@ def _add_train_overrides(p: argparse.ArgumentParser):
     p.add_argument("--layers", type=int)
     p.add_argument("--embed-dim", type=int)
     p.add_argument("--compute-dtype", choices=["float32", "bfloat16"])
+    p.add_argument("--trunk", choices=["blstm", "dprnn"])
+    p.add_argument("--blocks", type=int, help="dprnn dual-path block count")
+    p.add_argument("--chunk-frames", type=int, help="dprnn intra-chunk length K")
+    p.add_argument("--dropout", type=float)
 
 
 def _build_recipe(args, store):
@@ -69,6 +73,10 @@ def _build_recipe(args, store):
             "layers": args.layers,
             "embed_dim": args.embed_dim,
             "compute_dtype": args.compute_dtype,
+            "trunk": args.trunk,
+            "blocks": args.blocks,
+            "chunk_frames": args.chunk_frames,
+            "dropout": args.dropout,
         }.items()
         if v is not None
     }

@@ -136,5 +136,5 @@ class AdaptAutoencoder:
         l = neg_si + 10.0 * l2
         return l, {"ae_loss": l, "neg_si_sdr": neg_si, "l2": l2}
 
-    def loss_from_batch(self, params, batch):
+    def loss_from_batch(self, params, batch, rng=None):
         return self.loss(params, batch["sources"])

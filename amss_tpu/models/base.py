@@ -33,8 +33,26 @@ class SeparatorBase:
         self.front = make_front(cfg.front)
 
     # -- params -------------------------------------------------------------
+    @property
+    def trunk_dim(self) -> int:
+        """Width of the trunk's output features (what head projections see)."""
+        c = self.cfg.sep
+        return c.hidden if c.trunk == "dprnn" else 2 * c.hidden
+
     def init_trunk(self, key) -> dict:
         c = self.cfg
+        if c.sep.trunk == "dprnn":
+            from amss_tpu.models.dprnn import init_dprnn
+
+            return {
+                "dprnn": init_dprnn(
+                    key,
+                    c.front.feature_dim,
+                    d_model=c.sep.hidden,
+                    hidden=c.sep.hidden,
+                    blocks=c.sep.blocks,
+                )
+            }
         return {
             "blstm": init_blstm_stack(
                 key, c.front.feature_dim, c.sep.hidden, c.sep.layers
@@ -49,14 +67,30 @@ class SeparatorBase:
         sep_params: dict,
         feats: jnp.ndarray,  # [B, T', F] log-compressed
         frame_mask: jnp.ndarray | None = None,  # [B, T']
+        rng=None,  # training-time dropout key (None = eval/deterministic)
     ) -> jnp.ndarray:
         h = instance_norm(feats, frame_mask)
+        if "dprnn" in sep_params:
+            from amss_tpu.models.dprnn import dprnn_stack
+
+            return dprnn_stack(
+                sep_params["dprnn"],
+                h,
+                mask=frame_mask,
+                chunk_frames=self.cfg.sep.chunk_frames,
+                compute_dtype=self._compute_dtype(),
+                remat=self.cfg.sep.remat,
+                dropout_rate=self.cfg.sep.dropout,
+                rng=rng,
+            )  # [B, T', D]
         return blstm_stack(
             sep_params["blstm"],
             h,
             mask=frame_mask,
             compute_dtype=self._compute_dtype(),
             remat=self.cfg.sep.remat,
+            dropout_rate=self.cfg.sep.dropout,
+            rng=rng,
         )  # [B, T', 2H]
 
     # -- shared pipeline pieces ----------------------------------------------
@@ -74,9 +108,10 @@ class SeparatorBase:
         w = bin_weights(codes, self.cfg.weight_kind, self.cfg.vad_threshold_db)
         return mix, codes, aux, src_codes, y, w
 
-    def loss_from_batch(self, params: dict, batch: dict):
-        """Uniform trainer entry point; L41 overrides to use speaker ids."""
-        return self.loss(params, batch["sources"])
+    def loss_from_batch(self, params: dict, batch: dict, rng=None):
+        """Uniform trainer entry point; L41 overrides to use speaker ids.
+        ``rng`` drives training-time dropout (None = deterministic)."""
+        return self.loss(params, batch["sources"], rng=rng)
 
     def apply_masks_and_decode(
         self,

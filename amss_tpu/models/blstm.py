@@ -148,14 +148,24 @@ def blstm_stack(
     mask: jnp.ndarray | None = None,  # [B, T]
     compute_dtype=jnp.float32,
     remat: bool = True,
+    dropout_rate: float = 0.0,
+    rng=None,  # None = deterministic (eval); dropout applies between layers
 ) -> jnp.ndarray:
     """Run the BLSTM stack -> [B, T, 2*hidden]."""
 
-    def layer(params, h):
-        return _bilstm_fused_scan(params, h, mask, compute_dtype=compute_dtype)
+    def layer(params, h, r):
+        out = _bilstm_fused_scan(params, h, mask, compute_dtype=compute_dtype)
+        if r is not None and dropout_rate > 0.0:
+            from amss_tpu.models.dprnn import dropout
+
+            out = dropout(r, out, dropout_rate)
+        return out
 
     layer_fn = jax.checkpoint(layer) if remat else layer
+    rngs = (
+        jax.random.split(rng, len(stack)) if rng is not None else [None] * len(stack)
+    )
     h = x
-    for params in stack:
-        h = layer_fn(params, h)
+    for params, r in zip(stack, rngs):
+        h = layer_fn(params, h, r)
     return h

@@ -58,18 +58,18 @@ class ChimeraModel(SeparatorBase):
             "separator": {
                 **self.init_trunk(kt),
                 "proj_embed": _init_dense(
-                    ke, 2 * c.sep.hidden, c.front.feature_dim * c.sep.embed_dim
+                    ke, self.trunk_dim, c.front.feature_dim * c.sep.embed_dim
                 ),
                 "proj_mask": _init_dense(
-                    km, 2 * c.sep.hidden, c.front.feature_dim * c.nb_speakers
+                    km, self.trunk_dim, c.front.feature_dim * c.nb_speakers
                 ),
             },
         }
 
-    def heads(self, params, feats, frame_mask=None):
+    def heads(self, params, feats, frame_mask=None, rng=None):
         """-> (V [B,T',F,E] unit-norm, masks [B,T',F,S] softmax)."""
         c = self.cfg
-        h = self.trunk(params["separator"], feats, frame_mask)
+        h = self.trunk(params["separator"], feats, frame_mask, rng=rng)
         v = dense(params["separator"]["proj_embed"], h, self._compute_dtype())
         v = jnp.tanh(v.reshape(*feats.shape, c.sep.embed_dim))
         v = v / (jnp.linalg.norm(v, axis=-1, keepdims=True) + _EPS)
@@ -77,11 +77,13 @@ class ChimeraModel(SeparatorBase):
         m = jax.nn.softmax(m.reshape(*feats.shape, c.nb_speakers), axis=-1)
         return v, m
 
-    def loss(self, params: dict, sources: jnp.ndarray) -> tuple[jnp.ndarray, dict]:
+    def loss(
+        self, params: dict, sources: jnp.ndarray, rng=None
+    ) -> tuple[jnp.ndarray, dict]:
         c = self.cfg
         mix, codes, aux, src_codes, y, w = self.encode_mix_and_sources(params, sources)
         feats = self.front.features(params["front"], codes)
-        v, masks = self.heads(params, feats)
+        v, masks = self.heads(params, feats, rng=rng)
         l_dc = dpcl_loss(v, y, w)
         l_mi = msa_pit_loss(masks, codes, src_codes, w)
         l = c.chimera_alpha * l_dc + (1.0 - c.chimera_alpha) * l_mi

@@ -58,22 +58,28 @@ class DPCLModel(SeparatorBase):
             "front": self.front.init(kf),
             "separator": {
                 **self.init_trunk(kt),
-                "proj": _init_dense(kp, 2 * c.sep.hidden, c.front.feature_dim * c.sep.embed_dim),
+                "proj": _init_dense(kp, self.trunk_dim, c.front.feature_dim * c.sep.embed_dim),
             },
         }
 
     def embed(
-        self, params: dict, feats: jnp.ndarray, frame_mask: jnp.ndarray | None = None
+        self,
+        params: dict,
+        feats: jnp.ndarray,
+        frame_mask: jnp.ndarray | None = None,
+        rng=None,
     ) -> jnp.ndarray:
         """features [B, T', F] -> unit embeddings [B, T', F, E]."""
         c = self.cfg
-        h = self.trunk(params["separator"], feats, frame_mask)  # [B, T', 2H]
+        h = self.trunk(params["separator"], feats, frame_mask, rng=rng)
         v = dense(params["separator"]["proj"], h, self._compute_dtype())
         v = v.reshape(*feats.shape, c.sep.embed_dim)
         v = jnp.tanh(v)
         return v / (jnp.linalg.norm(v, axis=-1, keepdims=True) + _EPS)
 
-    def loss(self, params: dict, sources: jnp.ndarray) -> tuple[jnp.ndarray, dict]:
+    def loss(
+        self, params: dict, sources: jnp.ndarray, rng=None
+    ) -> tuple[jnp.ndarray, dict]:
         """Training objective from raw source chunks [B, S, T] (mixing on device).
 
         With a learned front and recon_weight > 0, adds the waveform-domain
@@ -82,7 +88,7 @@ class DPCLModel(SeparatorBase):
         embedding loss shapes it."""
         mix, codes, aux, _, y, w = self.encode_mix_and_sources(params, sources)
         feats = self.front.features(params["front"], codes)
-        v = self.embed(params, feats)
+        v = self.embed(params, feats, rng=rng)
         l_dc = dpcl_loss(v, y, w)
         metrics = {"dpcl_loss": l_dc}
         l = l_dc

@@ -121,7 +121,7 @@ class EnhancerModel:
         l = msa_pit_loss(masks, codes, src_codes, w)
         return l, {"enhance_msa": l}
 
-    def loss_from_batch(self, params, batch):
+    def loss_from_batch(self, params, batch, rng=None):
         return self.loss(params, batch["sources"])
 
     def separate(self, params: dict, mix: jnp.ndarray, frame_mask=None):

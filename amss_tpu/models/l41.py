@@ -40,7 +40,7 @@ class L41Model(SeparatorBase):
             "separator": {
                 **self.init_trunk(kt),
                 "proj": _init_dense(
-                    kp, 2 * c.sep.hidden, c.front.feature_dim * c.sep.embed_dim
+                    kp, self.trunk_dim, c.front.feature_dim * c.sep.embed_dim
                 ),
                 "centroids": jax.random.normal(
                     kc, (c.n_train_speakers, c.sep.embed_dim)
@@ -49,9 +49,9 @@ class L41Model(SeparatorBase):
             },
         }
 
-    def embed(self, params, feats, frame_mask=None):
+    def embed(self, params, feats, frame_mask=None, rng=None):
         c = self.cfg
-        h = self.trunk(params["separator"], feats, frame_mask)
+        h = self.trunk(params["separator"], feats, frame_mask, rng=rng)
         v = dense(params["separator"]["proj"], h, self._compute_dtype())
         v = v.reshape(*feats.shape, c.sep.embed_dim)
         return jnp.tanh(v)  # L41 keeps scale information (no L2 normalize)
@@ -64,12 +64,12 @@ class L41Model(SeparatorBase):
         )
 
     def loss(
-        self, params: dict, sources: jnp.ndarray, speaker_ids: jnp.ndarray
+        self, params: dict, sources: jnp.ndarray, speaker_ids: jnp.ndarray, rng=None
     ) -> tuple[jnp.ndarray, dict]:
         """sources [B,S,T], speaker_ids [B,S] (global train-set indices)."""
         _, codes, _, _, y, w = self.encode_mix_and_sources(params, sources)
         feats = self.front.features(params["front"], codes)
-        v = self.embed(params, feats)
+        v = self.embed(params, feats, rng=rng)
         logits = self._logits(params, v, speaker_ids)
         bce = optax.sigmoid_binary_cross_entropy(logits, y)  # [B,T',F,S]
         l = jnp.sum(bce * w[..., None]) / jnp.maximum(
@@ -77,8 +77,8 @@ class L41Model(SeparatorBase):
         )
         return l, {"l41_loss": l}
 
-    def loss_from_batch(self, params: dict, batch: dict):
-        return self.loss(params, batch["sources"], batch["speaker_ids"])
+    def loss_from_batch(self, params: dict, batch: dict, rng=None):
+        return self.loss(params, batch["sources"], batch["speaker_ids"], rng=rng)
 
     def separate(
         self,

@@ -141,12 +141,16 @@ class Trainer:
 
     def _build_step(self):
         model, tx = self.model, self.tx
+        seed = self.recipe.train.seed
 
-        def step(params, opt_state, batch, front_grad_scale):
+        def step(params, opt_state, batch, front_grad_scale, step_idx):
             batch = Trainer._dequantize(batch)
+            # Per-step dropout key, derived in-graph so resume stays bit-exact
+            # (key = f(seed, step), no host RNG state to checkpoint).
+            rng = jax.random.fold_in(jax.random.PRNGKey(seed), step_idx)
 
             def loss_fn(p):
-                return model.loss_from_batch(p, batch)
+                return model.loss_from_batch(p, batch, rng=rng)
 
             (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
             if "front" in grads:
@@ -165,7 +169,7 @@ class Trainer:
         self._step_fn = jax.jit(
             step,
             donate_argnums=(0, 1),
-            in_shardings=(rep, rep, data, None),
+            in_shardings=(rep, rep, data, None, None),
             out_shardings=(rep, rep, rep),
         )
 
@@ -237,7 +241,9 @@ class Trainer:
         )
         for step, batch in batches:
             fscale = jnp.float32(0.0 if step < self.recipe.freeze_front_steps else 1.0)
-            params, opt_state, metrics = self._step_fn(params, opt_state, batch, fscale)
+            params, opt_state, metrics = self._step_fn(
+                params, opt_state, batch, fscale, jnp.int32(step)
+            )
 
             if (step + 1) % log_every == 0:
                 m = {k: float(v) for k, v in metrics.items()}

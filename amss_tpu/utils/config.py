@@ -49,6 +49,14 @@ class SeparatorConfig:
     embed_dim: int = 20
     compute_dtype: str = "float32"  # "bfloat16" on TPU hot path
     remat: bool = True
+    # Trunk architecture: "blstm" (reference-style stack, SURVEY.md §2.3) or
+    # "dprnn" (dual-path intra/inter-chunk scans — shape, not size, is the
+    # lever once a flat BLSTM saturates; also far fewer sequential scan steps
+    # on TPU: 2*chunk_frames per block instead of T').
+    trunk: str = "blstm"
+    chunk_frames: int = 16  # dprnn intra-chunk length K (frames)
+    blocks: int = 6  # dprnn dual-path block count
+    dropout: float = 0.0  # dropout rate on block outputs (train only)
 
 
 @dataclass(frozen=True)
