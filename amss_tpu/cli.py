@@ -38,6 +38,10 @@ def _add_train_overrides(p: argparse.ArgumentParser):
     p.add_argument("--blocks", type=int, help="dprnn dual-path block count")
     p.add_argument("--chunk-frames", type=int, help="dprnn intra-chunk length K")
     p.add_argument("--dropout", type=float)
+    p.add_argument("--loss-variant", choices=["msa", "psa"],
+                   help="mask-inference target (psa = phase-sensitive)")
+    p.add_argument("--weight-kind", choices=["vad", "magnitude", "magvad"])
+    p.add_argument("--vad-threshold-db", type=float)
 
 
 def _build_recipe(args, store):
@@ -80,13 +84,24 @@ def _build_recipe(args, store):
         }.items()
         if v is not None
     }
+    mover = {
+        k: v
+        for k, v in {
+            "loss_variant": args.loss_variant,
+            "weight_kind": args.weight_kind,
+            "vad_threshold_db": args.vad_threshold_db,
+        }.items()
+        if v is not None
+    }
     if tover:
         recipe = dataclasses.replace(recipe, train=dataclasses.replace(recipe.train, **tover))
-    if sover:
+    if sover or mover:
         recipe = dataclasses.replace(
             recipe,
             model=dataclasses.replace(
-                recipe.model, sep=dataclasses.replace(recipe.model.sep, **sover)
+                recipe.model,
+                sep=dataclasses.replace(recipe.model.sep, **sover),
+                **mover,
             ),
         )
     return recipe
@@ -226,7 +241,7 @@ def main(argv=None):
                      ("separate", cmd_separate)]:
         p = sub.add_parser(name)
         p.add_argument("--recipe", required=True,
-                       choices=["c1", "c2_pretrain", "c2", "c3", "c4", "c5", "enh"])
+                       choices=["c1", "c2_pretrain", "c2", "c3", "c4", "c5", "c6", "enh"])
         p.add_argument("--corpus", required=True)
         p.add_argument("--workdir", default="runs")
         p.add_argument("--pretrained-front")

@@ -16,6 +16,7 @@ from amss_tpu.models.blstm import init_blstm_stack, blstm_stack, _init_dense, de
 from amss_tpu.models.front import (
     make_front,
     ideal_binary_mask,
+    psa_targets,
     vad_weights,
     bin_weights,
     instance_norm,
@@ -98,15 +99,23 @@ class SeparatorBase:
         """Device-side mixing + analysis of mixture and sources.
 
         sources: [B, S, T].  Returns (mix [B,T], mix codes, aux,
-        src codes [B,S,T',F], Y, weights).  The mixture is formed ON DEVICE
-        (BASELINE.json:5): the host ships only per-speaker chunks.
+        src codes [B,S,T',F], Y, weights, src aux).  The mixture is formed ON
+        DEVICE (BASELINE.json:5): the host ships only per-speaker chunks.
         """
         mix = jnp.sum(sources, axis=1)
         codes, aux = self.front.encode(params["front"], mix)
-        src_codes, _ = self.front.encode(params["front"], sources)
+        src_codes, src_aux = self.front.encode(params["front"], sources)
         y = ideal_binary_mask(src_codes)  # [B, T', F, S]
         w = bin_weights(codes, self.cfg.weight_kind, self.cfg.vad_threshold_db)
-        return mix, codes, aux, src_codes, y, w
+        return mix, codes, aux, src_codes, y, w, src_aux
+
+    def mi_targets(self, codes, aux, src_codes, src_aux) -> jnp.ndarray:
+        """Regression targets for mask-inference losses: source magnitudes
+        (msa) or truncated phase-sensitive targets (psa) when the front
+        carries phase (cfg.loss_variant; SURVEY.md §2.3 Chimera row)."""
+        if self.cfg.loss_variant == "psa" and "cos" in aux:
+            return psa_targets(codes, aux, src_codes, src_aux)
+        return src_codes
 
     def loss_from_batch(self, params: dict, batch: dict, rng=None):
         """Uniform trainer entry point; L41 overrides to use speaker ids.

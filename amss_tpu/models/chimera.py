@@ -81,11 +81,15 @@ class ChimeraModel(SeparatorBase):
         self, params: dict, sources: jnp.ndarray, rng=None
     ) -> tuple[jnp.ndarray, dict]:
         c = self.cfg
-        mix, codes, aux, src_codes, y, w = self.encode_mix_and_sources(params, sources)
+        mix, codes, aux, src_codes, y, w, src_aux = self.encode_mix_and_sources(
+            params, sources
+        )
         feats = self.front.features(params["front"], codes)
         v, masks = self.heads(params, feats, rng=rng)
         l_dc = dpcl_loss(v, y, w)
-        l_mi = msa_pit_loss(masks, codes, src_codes, w)
+        # MI regression target: source magnitudes (msa) or truncated
+        # phase-sensitive targets (psa, Chimera++) per cfg.loss_variant.
+        l_mi = msa_pit_loss(masks, codes, self.mi_targets(codes, aux, src_codes, src_aux), w)
         l = c.chimera_alpha * l_dc + (1.0 - c.chimera_alpha) * l_mi
         metrics = {"chimera_loss": l, "dc_loss": l_dc, "mi_loss": l_mi}
         if c.recon_weight > 0.0:  # learned-front mixture-fidelity term (§3.3)

@@ -112,14 +112,21 @@ class EnhancerModel:
         est_codes, _ = self.front.encode(self.front_params, est)
         return codes, aux, est_codes
 
-    def loss(self, params: dict, sources: jnp.ndarray):
+    def loss(self, params: dict, sources: jnp.ndarray, rng=None):
         mix = jnp.sum(sources, axis=1)
-        codes, _, est_codes = self._base_separate_codes(mix)
-        src_codes, _ = self.front.encode(self.front_params, sources)
+        codes, aux, est_codes = self._base_separate_codes(mix)
+        src_codes, src_aux = self.front.encode(self.front_params, sources)
         masks = self._refined_masks(params, codes, est_codes)
         w = vad_weights(codes, self.cfg.vad_threshold_db)
-        l = msa_pit_loss(masks, codes, src_codes, w)
-        return l, {"enhance_msa": l}
+        # psa: refine toward phase-sensitive targets (cfg.loss_variant)
+        if self.cfg.loss_variant == "psa" and "cos" in aux:
+            from amss_tpu.models.front import psa_targets
+
+            ref = psa_targets(codes, aux, src_codes, src_aux)
+        else:
+            ref = src_codes
+        l = msa_pit_loss(masks, codes, ref, w)
+        return l, {"enhance_mi": l}
 
     def loss_from_batch(self, params, batch, rng=None):
         return self.loss(params, batch["sources"])

@@ -113,6 +113,25 @@ def _one_hot_last(idx: jnp.ndarray, depth: int, dtype) -> jnp.ndarray:
     return (idx[..., None] == iota).astype(dtype)
 
 
+def psa_targets(
+    mix_codes: jnp.ndarray,  # [B, T', F] mixture magnitudes
+    mix_aux: dict,  # {"cos","sin"} mixture unit phase
+    src_codes: jnp.ndarray,  # [B, S, T', F] source magnitudes
+    src_aux: dict,  # {"cos","sin"} source unit phase
+) -> jnp.ndarray:
+    """Truncated phase-sensitive approximation targets (Erdogan et al. 2015;
+    Chimera++ per SURVEY.md §2.3/§2.9): t_s = |S_s|·cos(φ_s − φ_mix), clipped
+    to [0, |X|].  Masks trained toward these compensate for the phase error of
+    mixture-phase resynthesis — exactly what magnitude-only (MSA) losses are
+    blind to.  -> [B, S, T', F] (same layout as src_codes)."""
+    cosd = (
+        src_aux["cos"] * mix_aux["cos"][:, None]
+        + src_aux["sin"] * mix_aux["sin"][:, None]
+    )
+    t = src_codes * cosd
+    return jnp.clip(t, 0.0, mix_codes[:, None])
+
+
 def vad_weights(
     mix_codes: jnp.ndarray, threshold_db: float = 40.0
 ) -> jnp.ndarray:

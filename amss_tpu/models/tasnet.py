@@ -1,0 +1,75 @@
+"""TasNet-style separator: learned filterbank + mask head + waveform PIT loss.
+
+Capability extension beyond the reference (which stopped at DPCL/L41 over
+STFT or adapt fronts, SURVEY.md §2.3): this model family trains the WHOLE
+pipeline — adaptive conv1d analysis (models/adapt.py), trunk, per-code masks,
+conv1d synthesis — end-to-end on a waveform-domain permutation-invariant
+SI-SDR objective (Luo & Mesgarani, Conv-TasNet 2019; Luo et al., DPRNN 2020).
+It is the published lineage that breaks past clustering-based separation
+(blind SI-SDRi 15-19 dB on WSJ0-2mix vs ~10-11 for DPCL+), and it finally
+makes the repo's namesake adaptive front the *stronger* front rather than a
+weaker drop-in for STFT: the filterbank is free to learn whatever basis the
+separation objective wants, because nothing downstream assumes Fourier
+structure.
+
+TPU notes: everything is one jit program — framing-as-matmul encoder (MXU),
+dual-path trunk (fused scans), mask head matmul, OLA decoder (MXU) and the
+PIT SI-SDR loss (static S! enumeration).  No clustering at inference: masks
+come straight off the head, so separate() is a pure feed-forward program.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from amss_tpu.models.base import SeparatorBase
+from amss_tpu.models.blstm import _init_dense, dense
+from amss_tpu.ops.metrics import pit_si_sdr
+from amss_tpu.utils.config import ModelConfig
+
+
+class TasNetModel(SeparatorBase):
+    """Mask-inference separator trained on waveform PIT SI-SDR."""
+
+    def __init__(self, cfg: ModelConfig):
+        assert cfg.kind == "tasnet"
+        super().__init__(cfg)
+
+    def init(self, key) -> dict:
+        kf, kt, km = jax.random.split(key, 3)
+        c = self.cfg
+        return {
+            "front": self.front.init(kf),
+            "separator": {
+                **self.init_trunk(kt),
+                "proj_mask": _init_dense(
+                    km, self.trunk_dim, c.front.feature_dim * c.nb_speakers
+                ),
+            },
+        }
+
+    def masks(self, params, feats, frame_mask=None, rng=None) -> jnp.ndarray:
+        """-> [B, T', F, S] sigmoid masks (independent per source; the waveform
+        loss, not a sum-to-one constraint, arbitrates overlap)."""
+        c = self.cfg
+        h = self.trunk(params["separator"], feats, frame_mask, rng=rng)
+        m = dense(params["separator"]["proj_mask"], h, self._compute_dtype())
+        return jax.nn.sigmoid(m.reshape(*feats.shape, c.nb_speakers))
+
+    def _forward(self, params, mix, frame_mask=None, rng=None):
+        codes, aux = self.front.encode(params["front"], mix)
+        feats = self.front.features(params["front"], codes)
+        m = self.masks(params, feats, frame_mask, rng=rng)
+        return self.apply_masks_and_decode(params, codes, aux, m, mix.shape[-1])
+
+    def loss(self, params: dict, sources: jnp.ndarray, rng=None):
+        """Negative mean PIT SI-SDR of separated waveforms [B, S, T]."""
+        mix = jnp.sum(sources, axis=1)
+        est = self._forward(params, mix, rng=rng)
+        sdr, _ = pit_si_sdr(est, sources)
+        l = -jnp.mean(sdr)
+        return l, {"neg_pit_si_sdr": l}
+
+    def separate(self, params: dict, mix: jnp.ndarray, frame_mask=None):
+        return self._forward(params, mix, frame_mask=frame_mask)

@@ -49,6 +49,10 @@ def make_model(cfg: ModelConfig, base_run: str | None = None):
         return L41Model(cfg)
     if cfg.kind == "chimera":
         return ChimeraModel(cfg)
+    if cfg.kind == "tasnet":
+        from amss_tpu.models.tasnet import TasNetModel
+
+        return TasNetModel(cfg)
     if cfg.kind == "adapt_ae":
         return AdaptAutoencoder(cfg)
     if cfg.kind == "enhance":

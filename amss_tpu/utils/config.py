@@ -71,6 +71,10 @@ class ModelConfig:
     # loss bin weighting: "vad" (binary, classic DPCL) or "magnitude"
     # (magnitude-ratio, DPCL+/Chimera++ style — emphasizes loud bins)
     weight_kind: str = "vad"
+    # mask-inference regression target: "msa" (magnitude spectrum approx.) or
+    # "psa" (truncated phase-sensitive approx., Chimera++) — psa needs a
+    # phase-carrying front (stft); learned fronts fall back to msa
+    loss_variant: str = "msa"
     # end-to-end finetune (SURVEY.md §3.3): weight of the waveform-domain
     # mixture-reconstruction term added to the separator loss (learned fronts)
     recon_weight: float = 0.0
