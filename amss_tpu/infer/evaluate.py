@@ -22,9 +22,12 @@ def evaluate_separation(
     est: np.ndarray,  # [B, S, T]
     ref: np.ndarray,  # [B, S, T]
     mix: np.ndarray,  # [B, T]
+    bss: bool = True,
 ) -> dict:
-    """Aggregate separation quality.  Returns mean SI-SDR, SI-SDRi, and the
-    optional mir_eval SDR cross-check when that package exists."""
+    """Aggregate separation quality: mean SI-SDR/SI-SDRi (device) plus the
+    first-party BSS-Eval SDR/SIR/SAR columns (ops/bss_eval.py — the
+    reference's mir_eval headline metric, SURVEY.md §2.6) and the optional
+    mir_eval cross-check when that package exists."""
     est_j, ref_j, mix_j = jnp.asarray(est), jnp.asarray(ref), jnp.asarray(mix)
     sep_scores, perm = pit_si_sdr(est_j, ref_j)
     mix_rep = jnp.broadcast_to(mix_j[..., None, :], ref_j.shape)
@@ -35,6 +38,14 @@ def evaluate_separation(
         "si_sdri": float(jnp.mean(sep_scores - base)),
         "n": int(est.shape[0]),
     }
+    if bss:
+        from amss_tpu.ops.bss_eval import bss_eval_batch
+
+        out.update(bss_eval_batch(np.asarray(ref), np.asarray(est)))
+        # SDRi against the mixture under the same 512-tap decomposition
+        mix_s = np.broadcast_to(np.asarray(mix)[:, None, :], ref.shape)
+        out["sdr_mix"] = bss_eval_batch(np.asarray(ref), mix_s)["sdr"]
+        out["sdri"] = out["sdr"] - out["sdr_mix"]
     try:  # host cross-check harness (SURVEY.md §2.6); not present in image
         import mir_eval.separation as mes
 
