@@ -119,8 +119,11 @@ def cmd_make_synthetic(args):
 def cmd_ingest(args):
     from amss_tpu.data.store import ingest_wav_tree
 
-    store = ingest_wav_tree(args.wav_root, args.out)
-    print(f"ingested {len(store.speakers)} speakers into {args.out}")
+    store = ingest_wav_tree(args.wav_root, args.out, sample_rate=args.sample_rate)
+    print(
+        f"ingested {len(store.speakers)} speakers into {args.out} "
+        f"at {store.sample_rate} Hz"
+    )
 
 
 def cmd_train(args):
@@ -235,6 +238,9 @@ def main(argv=None):
     p = sub.add_parser("ingest")
     p.add_argument("--wav-root", required=True)
     p.add_argument("--out", required=True)
+    p.add_argument("--sample-rate", type=int, default=None,
+                   help="store rate; files at other rates are resampled "
+                        "(default: adopt the first file's rate)")
     p.set_defaults(fn=cmd_ingest)
 
     for name, fn in [("train", cmd_train), ("evaluate", cmd_evaluate),

@@ -67,13 +67,21 @@ class SpeakerStore:
 
 
 def _read_wav(path: str) -> tuple[np.ndarray, int]:
-    """Minimal PCM WAV reader (16-bit / 32-bit int, mono or first channel)."""
-    with wave_mod.open(path, "rb") as w:
-        sr = w.getframerate()
-        n = w.getnframes()
-        ch = w.getnchannels()
-        width = w.getsampwidth()
-        raw = w.readframes(n)
+    """Minimal PCM WAV reader (16-bit / 32-bit int, mono or first channel).
+    Float (IEEE format-3) WAVs are rejected with a clear message — the stdlib
+    wave module only parses PCM."""
+    try:
+        with wave_mod.open(path, "rb") as w:
+            sr = w.getframerate()
+            n = w.getnframes()
+            ch = w.getnchannels()
+            width = w.getsampwidth()
+            raw = w.readframes(n)
+    except wave_mod.Error as e:
+        raise ValueError(
+            f"{path}: unsupported WAV encoding ({e}); only integer PCM is "
+            "supported — convert float WAVs to 16-bit PCM before ingest"
+        ) from e
     if width == 2:
         # 32767 mirrors write_wav's scale: int16 round-trips bit-exactly.
         x = np.frombuffer(raw, np.int16).astype(np.float32) / 32767.0
@@ -92,6 +100,12 @@ def ingest_wav_tree(
     """Build a SpeakerStore from ``wav_root/<speaker>/**.wav`` (LibriSpeech/WSJ
     style tree — SURVEY.md §2.1).  All of a speaker's utterances concatenate
     into one shard; the manifest records the utterance boundaries.
+
+    Rate handling mirrors the reference's librosa-on-load behavior (SURVEY.md
+    §1 L0): files whose rate differs from the store rate are resampled with
+    the windowed-sinc converter (data/resample.py) — e.g. 16 kHz WSJ0 trees
+    ingest into the canonical 8 kHz store.  ``sample_rate=None`` adopts the
+    first file's rate.
     """
     speakers = sorted(
         d for d in os.listdir(wav_root) if os.path.isdir(os.path.join(wav_root, d))
@@ -109,9 +123,9 @@ def ingest_wav_tree(
                 if sample_rate is None:
                     sample_rate = sr
                 if sr != sample_rate:
-                    raise ValueError(
-                        f"{fn}: sample rate {sr} != store rate {sample_rate}"
-                    )
+                    from amss_tpu.data.resample import resample_sinc
+
+                    x = resample_sinc(x, sr, sample_rate)
                 waves.append(x)
                 bounds.append((off, off + len(x)))
                 off += len(x)
