@@ -49,3 +49,16 @@ def test_sdri_zero_for_mixture_as_estimate(rng):
     est = np.stack([mix, mix])
     val = float(sdr_improvement(jnp.asarray(est), jnp.asarray(s), jnp.asarray(mix)))
     assert abs(val) < 1e-3
+
+
+def test_compiled_flops_and_mfu():
+    """XLA cost-model FLOPs for a known matmul + MFU arithmetic."""
+    import jax.numpy as jnp
+
+    from amss_tpu.utils.profiling import compiled_flops, mfu
+
+    f = compiled_flops(lambda a, b: a @ b, jnp.ones((64, 128)), jnp.ones((128, 32)))
+    assert f == 2 * 64 * 128 * 32
+    m = mfu(f, 1.0, peak=1e6)
+    assert abs(m["achieved_tflops"] - f / 1e12) < 1e-18
+    assert abs(m["mfu_vs_v5e_peak"] - f / 1e6) < 1e-9
