@@ -38,6 +38,7 @@ def _add_train_overrides(p: argparse.ArgumentParser):
     p.add_argument("--blocks", type=int, help="dprnn dual-path block count")
     p.add_argument("--chunk-frames", type=int, help="dprnn intra-chunk length K")
     p.add_argument("--dropout", type=float)
+    p.add_argument("--feature-norm", choices=["global", "channel"])
     p.add_argument("--loss-variant", choices=["msa", "psa"],
                    help="mask-inference target (psa = phase-sensitive)")
     p.add_argument("--weight-kind", choices=["vad", "magnitude", "magvad"])
@@ -81,6 +82,7 @@ def _build_recipe(args, store):
             "blocks": args.blocks,
             "chunk_frames": args.chunk_frames,
             "dropout": args.dropout,
+            "feature_norm": args.feature_norm,
         }.items()
         if v is not None
     }

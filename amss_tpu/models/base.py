@@ -70,7 +70,12 @@ class SeparatorBase:
         frame_mask: jnp.ndarray | None = None,  # [B, T']
         rng=None,  # training-time dropout key (None = eval/deterministic)
     ) -> jnp.ndarray:
-        h = instance_norm(feats, frame_mask)
+        if self.cfg.sep.feature_norm == "channel":
+            from amss_tpu.models.front import channel_norm
+
+            h = channel_norm(feats, frame_mask)
+        else:
+            h = instance_norm(feats, frame_mask)
         if "dprnn" in sep_params:
             from amss_tpu.models.dprnn import dprnn_stack
 

@@ -16,8 +16,11 @@ parts):
     steps and zeroes outputs, so bucketed batches of mixed lengths are exact.
   * Optional `jax.checkpoint` per layer: activations for the backward pass are
     rematerialized, halving HBM residency for deep stacks.
-  * Compute dtype is configurable (bf16 matmuls with f32 cell state is the
-    intended TPU mode).
+  * Compute dtype is configurable: bf16 gate matmuls with f32 cell state
+    (``compute_dtype="bfloat16"``).  Verified on the v5e chip (round 2): the
+    full c1 train step compiles and runs in bf16 — the round-1 ">30 min
+    compile hang" did not reproduce at tiny or production shapes (see
+    NOTES_r2.md for the staged repro evidence).
 """
 
 from __future__ import annotations

@@ -177,6 +177,24 @@ def instance_norm(
     return (feats - mu) * jax_rsqrt(var + 1e-5)
 
 
+def channel_norm(
+    feats: jnp.ndarray, frame_mask: jnp.ndarray | None = None
+) -> jnp.ndarray:
+    """Per-CHANNEL zero-mean/unit-var over time (padding-aware).  For learned
+    filterbanks whose per-filter output scales are arbitrary — a global
+    instance norm lets loud filters dominate the trunk input (the round-1
+    'per-filter code norm' lever for adaptive-front parity, NOTES_r1.md)."""
+    if frame_mask is None:
+        mu = jnp.mean(feats, axis=-2, keepdims=True)
+        var = jnp.var(feats, axis=-2, keepdims=True)
+    else:
+        m = frame_mask[..., None]
+        denom = jnp.maximum(jnp.sum(m, axis=-2, keepdims=True), 1.0)
+        mu = jnp.sum(feats * m, axis=-2, keepdims=True) / denom
+        var = jnp.sum(m * (feats - mu) ** 2, axis=-2, keepdims=True) / denom
+    return (feats - mu) * jax_rsqrt(var + 1e-5)
+
+
 def jax_rsqrt(x):
     return 1.0 / jnp.sqrt(x)
 

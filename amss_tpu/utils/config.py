@@ -57,6 +57,10 @@ class SeparatorConfig:
     chunk_frames: int = 16  # dprnn intra-chunk length K (frames)
     blocks: int = 6  # dprnn dual-path block count
     dropout: float = 0.0  # dropout rate on block outputs (train only)
+    # trunk input normalization: "global" (utterance instance norm) or
+    # "channel" (per-filter over time — for learned fronts whose per-filter
+    # scales are arbitrary)
+    feature_norm: str = "global"
 
 
 @dataclass(frozen=True)

@@ -62,3 +62,25 @@ def test_autoencoder_loss_decreases(rng):
     for _ in range(30):
         params, opt, l = step(params, opt)
     assert float(l) < float(l0)
+
+
+def test_channel_norm():
+    """Per-filter normalization: each channel independently zero-mean/unit-var
+    over time; padding-aware."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from amss_tpu.models.front import channel_norm
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 40, 8)) * jnp.arange(1, 9)
+    y = channel_norm(x)
+    np.testing.assert_allclose(np.asarray(jnp.mean(y, axis=-2)), 0.0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(jnp.var(y, axis=-2)), 1.0, atol=1e-3)
+    # padding-aware: masked stats over the valid prefix only
+    mask = jnp.zeros((2, 40)).at[:, :25].set(1.0)
+    y2 = channel_norm(x, mask)
+    valid = np.asarray(y2[:, :25])
+    np.testing.assert_allclose(valid.mean(axis=-2), 0.0, atol=1e-5)
+    y2_ref = channel_norm(x[:, :25])
+    np.testing.assert_allclose(valid, np.asarray(y2_ref), atol=1e-5)
