@@ -71,27 +71,28 @@ def _build_recipe(args, store):
         }.items()
         if v is not None
     }
+    # getattr: callers (tests, scripts) may pass partial Namespaces
     sover = {
         k: v
         for k, v in {
-            "hidden": args.hidden,
-            "layers": args.layers,
-            "embed_dim": args.embed_dim,
-            "compute_dtype": args.compute_dtype,
-            "trunk": args.trunk,
-            "blocks": args.blocks,
-            "chunk_frames": args.chunk_frames,
-            "dropout": args.dropout,
-            "feature_norm": args.feature_norm,
+            "hidden": getattr(args, "hidden", None),
+            "layers": getattr(args, "layers", None),
+            "embed_dim": getattr(args, "embed_dim", None),
+            "compute_dtype": getattr(args, "compute_dtype", None),
+            "trunk": getattr(args, "trunk", None),
+            "blocks": getattr(args, "blocks", None),
+            "chunk_frames": getattr(args, "chunk_frames", None),
+            "dropout": getattr(args, "dropout", None),
+            "feature_norm": getattr(args, "feature_norm", None),
         }.items()
         if v is not None
     }
     mover = {
         k: v
         for k, v in {
-            "loss_variant": args.loss_variant,
-            "weight_kind": args.weight_kind,
-            "vad_threshold_db": args.vad_threshold_db,
+            "loss_variant": getattr(args, "loss_variant", None),
+            "weight_kind": getattr(args, "weight_kind", None),
+            "vad_threshold_db": getattr(args, "vad_threshold_db", None),
         }.items()
         if v is not None
     }

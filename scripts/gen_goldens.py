@@ -35,6 +35,7 @@ def main():
         c2_pretrain_adapt,
         c3_l41,
         c4_chimera_3mix,
+        c6_tasnet,
     )
     from amss_tpu.train.engine import make_model
 
@@ -46,6 +47,7 @@ def main():
         ("c2", c2_adapt_dpcl()),
         ("c3", c3_l41(n_train_speakers=6)),
         ("c4", c4_chimera_3mix()),
+        ("c6", c6_tasnet()),
     ]:
         model = make_model(tiny_model(recipe))
         params = model.init(jax.random.PRNGKey(7))

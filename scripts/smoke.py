@@ -29,6 +29,7 @@ from amss_tpu.configs.recipes import (
     c2_adapt_dpcl,
     c3_l41,
     c4_chimera_3mix,
+    c6_tasnet,
 )
 from amss_tpu.data.synthetic import make_synthetic_corpus
 from amss_tpu.train.engine import Trainer
@@ -63,6 +64,11 @@ def main():
         ("c2_adapt_dpcl", tiny(c2_adapt_dpcl())),
         ("c3_l41", tiny(c3_l41(n_train_speakers=12))),
         ("c4_chimera", tiny(c4_chimera_3mix())),
+        ("c4_chimera_psa", tiny(dataclasses.replace(
+            c4_chimera_3mix(),
+            model=dataclasses.replace(c4_chimera_3mix().model, loss_variant="psa"),
+        ))),
+        ("c6_tasnet", tiny(c6_tasnet())),
     ]:
         tr = Trainer(recipe, store, workdir=runs)
         state = tr.fit()

@@ -30,6 +30,7 @@ def _loss_for(name):
         c2_pretrain_adapt,
         c3_l41,
         c4_chimera_3mix,
+        c6_tasnet,
     )
     from amss_tpu.train.engine import make_model
 
@@ -39,6 +40,7 @@ def _loss_for(name):
         "c2": c2_adapt_dpcl(),
         "c3": c3_l41(n_train_speakers=6),
         "c4": c4_chimera_3mix(),
+        "c6": c6_tasnet(),
     }
     recipe = recipes[name]
     sep = dataclasses.replace(recipe.model.sep, hidden=16, layers=1, embed_dim=4)
@@ -46,7 +48,7 @@ def _loss_for(name):
     params = model.init(jax.random.PRNGKey(7))
     rng = np.random.default_rng(1234)
     # consume draws in the same order as gen_goldens.py
-    order = ["c1", "c2_pretrain", "c2", "c3", "c4"]
+    order = ["c1", "c2_pretrain", "c2", "c3", "c4", "c6"]
     loss = None
     for n in order:
         r = recipes[n]
@@ -62,7 +64,7 @@ def _loss_for(name):
     return loss
 
 
-@pytest.mark.parametrize("name", ["c1", "c2_pretrain", "c2", "c3", "c4"])
+@pytest.mark.parametrize("name", ["c1", "c2_pretrain", "c2", "c3", "c4", "c6"])
 def test_golden(goldens, name, monkeypatch):
     monkeypatch.setenv("AMSS_PALLAS", "0")
     assert abs(_loss_for(name) - goldens[name]) <= 1e-4 * max(
