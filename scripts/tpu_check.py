@@ -54,6 +54,18 @@ def main():
     want = overlap_add(jnp.matmul(codes, dbasis, precision="highest"), 64)
     ok &= check("pallas_decode_ola", got, want)
 
+    # --- TasNet-scale short filters (L=32, stride=16) ------------------------
+    sbasis = jnp.asarray(rng.standard_normal((32, 256)), jnp.float32)
+    got = framed_matmul(x, sbasis, hop=16)
+    want = jnp.matmul(frame_signal(x, 32, 16), sbasis, precision="highest")
+    ok &= check("framed_matmul_L32", got, want)
+    scodes = jnp.asarray(rng.standard_normal((2, 1023, 256)), jnp.float32)
+    sdec = jnp.asarray(rng.standard_normal((256, 32)), jnp.float32)
+    got = pallas_decode_ola(scodes, sdec, hop=16, length=16384)
+    want = overlap_add(jnp.matmul(scodes, sdec, precision="highest"), 16,
+                       length=16384)
+    ok &= check("decode_ola_L32", got, want)
+
     # --- stft round trip on TPU (real-pair path) ----------------------------
     y = istft_ri(*stft_ri(x, 256, 64), 256, 64, length=16384)
     err = np.abs(np.asarray(y)[:, 256:-256] - np.asarray(x)[:, 256:-256]).max()

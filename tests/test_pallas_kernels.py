@@ -82,3 +82,42 @@ def test_decode_ola_grads_match_jnp(rng):
     gc_r, gb_r = jax.grad(loss_ref, argnums=(0, 1))(codes, basis)
     np.testing.assert_allclose(np.asarray(gc_p), np.asarray(gc_r), atol=1e-2, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(gb_p), np.asarray(gb_r), atol=1e-2, rtol=1e-4)
+
+
+def test_framed_matmul_short_filters(rng):
+    """TasNet-scale front: L=32, stride=16 (well under the 128 Mosaic lane
+    width) must match the reference framing+matmul path."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from amss_tpu.ops.framing import frame_signal
+    from amss_tpu.ops.pallas.framed_matmul import framed_matmul
+
+    x = rng.standard_normal((2, 2048)).astype(np.float32)
+    basis = rng.standard_normal((32, 64)).astype(np.float32)
+    got = np.asarray(
+        framed_matmul(jnp.asarray(x), jnp.asarray(basis), hop=16, interpret=True)
+    )
+    want = np.asarray(frame_signal(jnp.asarray(x), 32, 16) @ jnp.asarray(basis))
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_decode_ola_short_filters(rng):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from amss_tpu.ops.framing import overlap_add
+    from amss_tpu.ops.pallas.ola import pallas_decode_ola
+
+    codes = rng.standard_normal((2, 127, 64)).astype(np.float32)
+    basis = rng.standard_normal((64, 32)).astype(np.float32)
+    got = np.asarray(
+        pallas_decode_ola(
+            jnp.asarray(codes), jnp.asarray(basis), hop=16, length=2048,
+            interpret=True,
+        )
+    )
+    want = np.asarray(
+        overlap_add(jnp.asarray(codes) @ jnp.asarray(basis), 16, length=2048)
+    )
+    np.testing.assert_allclose(got, want, atol=2e-4)
