@@ -27,6 +27,8 @@ def _add_train_overrides(p: argparse.ArgumentParser):
     p.add_argument("--batch-size", type=int)
     p.add_argument("--chunk-samples", type=int)
     p.add_argument("--lr", type=float)
+    p.add_argument("--lr-schedule", choices=["const", "cosine"])
+    p.add_argument("--warmup-steps", type=int)
     p.add_argument("--seed", type=int)
     p.add_argument("--valid-every", type=int)
     p.add_argument("--data-axis", type=int, help="devices on the data mesh axis")
@@ -65,6 +67,8 @@ def _build_recipe(args, store):
             "batch_size": args.batch_size,
             "chunk_samples": args.chunk_samples,
             "lr": args.lr,
+            "lr_schedule": getattr(args, "lr_schedule", None),
+            "warmup_steps": getattr(args, "warmup_steps", None),
             "seed": args.seed,
             "valid_every": args.valid_every,
             "data_axis": args.data_axis,

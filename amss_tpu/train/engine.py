@@ -112,9 +112,20 @@ class Trainer:
             seed=recipe.train.seed,
         )
         self.mesh = mesh if mesh is not None else make_mesh(recipe.train.data_axis)
+        t = recipe.train
+        if t.lr_schedule == "cosine":
+            lr = optax.warmup_cosine_decay_schedule(
+                init_value=0.0,
+                peak_value=t.lr,
+                warmup_steps=min(t.warmup_steps, max(t.steps // 10, 1)),
+                decay_steps=t.steps,
+                end_value=t.lr / 20.0,
+            )
+        else:
+            lr = t.lr
         self.tx = optax.chain(
-            optax.clip_by_global_norm(recipe.train.grad_clip),
-            optax.adam(recipe.train.lr),
+            optax.clip_by_global_norm(t.grad_clip),
+            optax.adam(lr),
         )
         self.writer = MetricWriter(self.dir)
         self._step_fn = None

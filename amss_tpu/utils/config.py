@@ -89,6 +89,10 @@ class TrainConfig:
     batch_size: int = 8
     chunk_samples: int = 16384  # ~2 s @ 8 kHz
     lr: float = 1e-3
+    # "const" or "cosine" (linear warmup over warmup_steps, cosine decay to
+    # lr/20 at `steps`)
+    lr_schedule: str = "const"
+    warmup_steps: int = 500
     grad_clip: float = 5.0
     steps: int = 1000
     valid_every: int = 100
