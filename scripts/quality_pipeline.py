@@ -91,6 +91,7 @@ def main():
         c2_pretrain_adapt,
         c3_l41,
         c4_chimera_3mix,
+        c6_tasnet,
         enh_dpcl,
     )
     from amss_tpu.data.store import SpeakerStore
@@ -131,6 +132,9 @@ def main():
 
     # 5. chimera 3-speaker
     run("c4_chimera", sized(c4_chimera_3mix(), 6000, embed=40))
+
+    # 6. TasNet flagship (waveform PIT, adaptive front end-to-end)
+    run("c6_tasnet", sized(c6_tasnet(), 12000))
 
     print("QUALITY PIPELINE DONE", flush=True)
 

@@ -45,3 +45,54 @@ def test_enhance_trains_on_frozen_base(tmp_path):
     est = enh.model.separate(state["params"], mix)
     assert est.shape == (1, 2, 2048)
     assert np.isfinite(np.asarray(est)).all()
+
+
+def test_enhancer_over_tasnet_base(tmp_path):
+    """Stacking the refinement stage on a TasNet (adapt-front) base: the
+    refiner must size itself from the base's front (256 codes), not the enh
+    recipe's own STFT front, and train end-to-end."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from amss_tpu.models.enhance import EnhancerModel
+    from amss_tpu.models.tasnet import TasNetModel
+    from amss_tpu.configs.recipes import c6_tasnet, enh_dpcl
+
+    r6 = c6_tasnet()
+    r6 = dataclasses.replace(
+        r6,
+        model=dataclasses.replace(
+            r6.model,
+            front=dataclasses.replace(r6.model.front, n_filters=32, filter_len=16,
+                                      stride=8),
+            sep=dataclasses.replace(r6.model.sep, hidden=16, blocks=1,
+                                    chunk_frames=8),
+        ),
+    )
+    base = TasNetModel(r6.model)
+    base_params = base.init(jax.random.PRNGKey(0))
+
+    re = enh_dpcl()
+    re = dataclasses.replace(
+        re,
+        model=dataclasses.replace(
+            re.model, sep=dataclasses.replace(re.model.sep, hidden=12, layers=1)
+        ),
+    )
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # front mismatch warning is expected
+        enh = EnhancerModel(re.model, base, base_params)
+    assert enh.feature_dim == 32  # sized from the BASE front
+    params = enh.init(jax.random.PRNGKey(1))
+    src = jax.random.normal(jax.random.PRNGKey(2), (2, 2, 1024)) * 0.1
+    l, _ = enh.loss(params, src)
+    assert np.isfinite(float(l))
+    g = jax.grad(lambda p: enh.loss(p, src)[0])(params)
+    assert np.abs(np.asarray(g["separator"]["proj"]["w"])).sum() >= 0
+    est = enh.separate(params, jnp.sum(src, axis=1))
+    assert est.shape == (2, 2, 1024)
