@@ -82,6 +82,23 @@ def main():
     except Exception as e:  # cost model not exposed -> still print the line
         mfu_fields = {"mfu_error": repr(e)[:120]}
 
+    # Secondary: the TasNet flagship (c6) through the same serving harness.
+    tasnet_fields = {}
+    try:
+        from amss_tpu.configs.recipes import c6_tasnet
+
+        model6 = make_model(c6_tasnet().model)
+        params6 = model6.init(jax.random.PRNGKey(0))
+        sep6 = StreamingSeparator(
+            model6, params6, sample_rate=sample_rate,
+            buckets=BucketSpec(lengths=(t,)),
+        )
+        est6 = sep6.separate_all(waves[:32], max_batch=batch)
+        assert est6[0].shape == (2, t)
+        tasnet_fields = {"tasnet_rtf": round(sep6.meter.rtf, 6)}
+    except Exception as e:
+        tasnet_fields = {"tasnet_rtf_error": repr(e)[:120]}
+
     print(
         json.dumps(
             {
@@ -90,6 +107,7 @@ def main():
                 "unit": "rtf_per_chip",
                 "vs_baseline": round(target / rtf, 3),
                 **mfu_fields,
+                **tasnet_fields,
             }
         )
     )
