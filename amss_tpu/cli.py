@@ -32,6 +32,9 @@ def _add_train_overrides(p: argparse.ArgumentParser):
     p.add_argument("--seed", type=int)
     p.add_argument("--valid-every", type=int)
     p.add_argument("--data-axis", type=int, help="devices on the data mesh axis")
+    p.add_argument("--device-data", action="store_const", const=True, default=None,
+                   help="HBM-resident corpus: per-step batches are tiny "
+                        "(speaker, start, gain) plans gathered on device")
     p.add_argument("--hidden", type=int)
     p.add_argument("--layers", type=int)
     p.add_argument("--embed-dim", type=int)
@@ -72,6 +75,7 @@ def _build_recipe(args, store):
             "seed": args.seed,
             "valid_every": args.valid_every,
             "data_axis": args.data_axis,
+            "device_data": getattr(args, "device_data", None),
         }.items()
         if v is not None
     }

@@ -47,6 +47,17 @@ class Batch:
     gains: np.ndarray  # [B, S] float32 linear gains already applied
 
 
+@dataclass
+class Plan:
+    """Selection-only batch (device-resident corpus mode): which chunks to
+    gather, without materializing audio on host.  Same determinism contract
+    as Batch — plan(seed, split, step, host) draws the identical selection."""
+
+    speaker_ids: np.ndarray  # [B, S] int32 — global speaker indices
+    starts: np.ndarray  # [B, S] int32 chunk offsets into each shard
+    gains: np.ndarray  # [B, S] float32 linear gains
+
+
 class Mixer:
     """Sample S distinct same-split speakers, random chunks, random gains."""
 
@@ -107,24 +118,8 @@ class Mixer:
         not partitioned — the same chunk may appear on two hosts, which is
         statistically fine for random mixing.
         """
-        assert split in _SPLITS
-        rng = np.random.default_rng(
-            np.random.SeedSequence([self.seed, _SPLITS.index(split), step, host])
-        )
-        speakers = self.split_speakers[split]
-        ids = np.empty((batch_size, self.s), np.int32)
-        starts = np.empty((batch_size, self.s), np.int64)
-        lo, hi = self.gain_db
-        gains_db = rng.uniform(lo, hi, size=(batch_size, self.s))
-        gains = (10.0 ** (gains_db / 20.0)).astype(np.float32)
-        for b in range(batch_size):
-            chosen = rng.choice(len(speakers), size=self.s, replace=False)
-            for j, c in enumerate(chosen):
-                spk = speakers[c]
-                ids[b, j] = self.global_index[spk]
-                n = self.store.n_samples(spk)
-                starts[b, j] = rng.integers(0, max(n - self.t, 1))
-
+        plan = self.plan(split, step, batch_size, host=host)
+        ids, starts, gains = plan.speaker_ids, plan.starts.astype(np.int64), plan.gains
         shards = [self.store.waveform(s) for s in self.store.speakers]
         flat = np.empty((batch_size * self.s, self.t), np.float32)
         from amss_tpu.data.native import batch_fill
@@ -139,6 +134,29 @@ class Mixer:
             speaker_ids=ids,
             gains=gains,
         )
+
+    def plan(self, split: str, step: int, batch_size: int, host: int = 0) -> Plan:
+        """Chunk-selection plan only — pure function of (seed, split, step,
+        host), drawing in the exact order batch() always did, so host-gather
+        and device-gather modes see identical data."""
+        assert split in _SPLITS
+        rng = np.random.default_rng(
+            np.random.SeedSequence([self.seed, _SPLITS.index(split), step, host])
+        )
+        speakers = self.split_speakers[split]
+        ids = np.empty((batch_size, self.s), np.int32)
+        starts = np.empty((batch_size, self.s), np.int32)
+        lo, hi = self.gain_db
+        gains_db = rng.uniform(lo, hi, size=(batch_size, self.s))
+        gains = (10.0 ** (gains_db / 20.0)).astype(np.float32)
+        for b in range(batch_size):
+            chosen = rng.choice(len(speakers), size=self.s, replace=False)
+            for j, c in enumerate(chosen):
+                spk = speakers[c]
+                ids[b, j] = self.global_index[spk]
+                n = self.store.n_samples(spk)
+                starts[b, j] = rng.integers(0, max(n - self.t, 1))
+        return Plan(speaker_ids=ids, starts=starts, gains=gains)
 
     def epoch(
         self, split: str, steps: int, batch_size: int, epoch: int = 0, host: int = 0

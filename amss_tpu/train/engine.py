@@ -132,6 +132,33 @@ class Trainer:
         self._valid_fn = None
         self._ckpt = AsyncCheckpointer()
         self._warned_summaries = False
+        # Device-resident corpus mode: shards live in HBM; batches are plans.
+        self.corpus = None
+        if recipe.train.device_data:
+            from amss_tpu.data.device_corpus import DeviceCorpus
+
+            self.corpus = DeviceCorpus(store, recipe.train.chunk_samples)
+
+    def _draw(self, split: str, step: int, batch_size: int, host: int = 0):
+        """Host-side batch draw: a Plan in device-data mode, else audio."""
+        if self.corpus is not None:
+            return self.mixer.plan(split, step, batch_size, host=host)
+        return self.mixer.batch(split, step, batch_size, host=host)
+
+    def _make_prep(self):
+        """In-step batch preprocessing: plan->gather (device mode) or int16
+        dequantize (host mode)."""
+        corpus = self.corpus
+        if corpus is None:
+            return Trainer._dequantize
+
+        def prep(batch):
+            sources = corpus.gather(
+                batch["plan_ids"], batch["plan_starts"], batch["plan_gains"]
+            )
+            return {"sources": sources, "speaker_ids": batch["plan_ids"]}
+
+        return prep
 
     # -- setup ---------------------------------------------------------------
     def init_state(self, seed: int | None = None) -> dict:
@@ -157,9 +184,10 @@ class Trainer:
     def _build_step(self):
         model, tx = self.model, self.tx
         seed = self.recipe.train.seed
+        prep = self._make_prep()
 
         def step(params, opt_state, batch, front_grad_scale, step_idx):
-            batch = Trainer._dequantize(batch)
+            batch = prep(batch)
             # Per-step dropout key, derived in-graph so resume stays bit-exact
             # (key = f(seed, step), no host RNG state to checkpoint).
             rng = jax.random.fold_in(jax.random.PRNGKey(seed), step_idx)
@@ -189,7 +217,7 @@ class Trainer:
         )
 
         def valid(params, batch):
-            l, metrics = model.loss_from_batch(params, Trainer._dequantize(batch))
+            l, metrics = model.loss_from_batch(params, prep(batch))
             return {"loss": l, **metrics}  # canonical total-objective key
 
         self._valid_fn = jax.jit(valid, in_shardings=(rep, data), out_shardings=rep)
@@ -202,10 +230,17 @@ class Trainer:
         jax.make_array_from_process_local_data (the JAX-native multi-host
         input path — SURVEY.md §2.7 per-host input sharding over DCN)."""
         sh = batch_sharding(self.mesh)
-        q = np.clip(batch.sources * 32767.0, -32767.0, 32767.0).astype(np.int16)
-        arrays = {"sources_q": q}
-        if self.recipe.model.kind == "l41":
-            arrays["speaker_ids"] = batch.speaker_ids
+        if self.corpus is not None:  # plan mode: a few hundred bytes per step
+            arrays = {
+                "plan_ids": batch.speaker_ids,
+                "plan_starts": batch.starts,
+                "plan_gains": batch.gains,
+            }
+        else:
+            q = np.clip(batch.sources * 32767.0, -32767.0, 32767.0).astype(np.int16)
+            arrays = {"sources_q": q}
+            if self.recipe.model.kind == "l41":
+                arrays["speaker_ids"] = batch.speaker_ids
         if jax.process_count() == 1:
             return {k: jax.device_put(v, sh) for k, v in arrays.items()}
         return {
@@ -249,7 +284,7 @@ class Trainer:
         local_bs = r.batch_size // n_proc
         host = jax.process_index()
         batches = Prefetcher(
-            make_batch=lambda s: self.mixer.batch("train", s, local_bs, host=host),
+            make_batch=lambda s: self._draw("train", s, local_bs, host=host),
             put_batch=self._device_batch,
             start_step=start,
             end_step=r.steps,
@@ -296,7 +331,7 @@ class Trainer:
         host = jax.process_index()
         losses = []
         for i in range(r.valid_steps):
-            hb = self.mixer.batch(split, offset + i, local_bs, host=host)
+            hb = self._draw(split, offset + i, local_bs, host=host)
             metrics = self._valid_fn(params, self._device_batch(hb))
             losses.append(float(metrics["loss"]))
         vloss = float(np.mean(losses))

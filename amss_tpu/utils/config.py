@@ -99,6 +99,10 @@ class TrainConfig:
     valid_steps: int = 4
     seed: int = 0
     data_axis: int = 1  # mesh size along "data" (1 = single chip)
+    # Device-resident corpus: upload all shards to HBM once (int16); per-step
+    # batches are (speaker, start, gain) plans gathered inside the jit step —
+    # removes the host->HBM audio transfer that bounds step time.
+    device_data: bool = False
 
 
 @dataclass(frozen=True)
