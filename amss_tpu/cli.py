@@ -230,6 +230,39 @@ def cmd_separate(args):
           f"(rtf={sep.meter.rtf:.4f})")
 
 
+def cmd_profile(args):
+    """Trace N train steps with jax.profiler (Perfetto/TensorBoard-loadable)
+    and print wall-clock step stats (SURVEY.md §5.1)."""
+    import jax
+    import jax.numpy as jnp
+
+    from amss_tpu.data.store import SpeakerStore
+    from amss_tpu.train.engine import Trainer
+    from amss_tpu.utils.profiling import StepTimer, trace
+
+    store = SpeakerStore(args.corpus)
+    recipe = _build_recipe(args, store)
+    tr = Trainer(recipe, store, workdir=args.workdir)
+    state = tr.init_state()
+    tr._build_step()
+    p, o = state["params"], state["opt_state"]
+    batch = tr._device_batch(tr._draw("train", 0, recipe.train.batch_size))
+    # warm (compile outside the trace)
+    p, o, m = tr._step_fn(p, o, batch, jnp.float32(1.0), jnp.int32(0))
+    _ = {k: float(v) for k, v in m.items()}
+
+    timer = StepTimer()
+    with trace(args.trace_dir):
+        timer.start()
+        for i in range(args.profile_steps):
+            batch = tr._device_batch(tr._draw("train", i + 1, recipe.train.batch_size))
+            p, o, m = tr._step_fn(p, o, batch, jnp.float32(1.0), jnp.int32(i + 1))
+            _ = {k: float(v) for k, v in m.items()}  # host fetch = sync
+            timer.tick()
+    stats = {k: round(v, 5) for k, v in timer.stats().items()}
+    print(json.dumps({"trace_dir": args.trace_dir, **stats}))
+
+
 def main(argv=None):
     try:  # persistent XLA cache: tunnel compiles cost minutes (utils/cache.py)
         from amss_tpu.utils.cache import enable_compilation_cache
@@ -255,7 +288,7 @@ def main(argv=None):
     p.set_defaults(fn=cmd_ingest)
 
     for name, fn in [("train", cmd_train), ("evaluate", cmd_evaluate),
-                     ("separate", cmd_separate)]:
+                     ("separate", cmd_separate), ("profile", cmd_profile)]:
         p = sub.add_parser(name)
         p.add_argument("--recipe", required=True,
                        choices=["c1", "c2_pretrain", "c2", "c3", "c4", "c5", "c6", "enh"])
@@ -271,6 +304,9 @@ def main(argv=None):
         if name == "separate":
             p.add_argument("--wav", nargs="+", required=True)
             p.add_argument("--out", default="separated")
+        if name == "profile":
+            p.add_argument("--profile-steps", type=int, default=20)
+            p.add_argument("--trace-dir", default="/tmp/amss_trace")
         p.set_defaults(fn=fn)
 
     args = ap.parse_args(argv)
