@@ -39,8 +39,11 @@ def _add_train_overrides(p: argparse.ArgumentParser):
     p.add_argument("--layers", type=int)
     p.add_argument("--embed-dim", type=int)
     p.add_argument("--compute-dtype", choices=["float32", "bfloat16"])
-    p.add_argument("--trunk", choices=["blstm", "dprnn"])
-    p.add_argument("--blocks", type=int, help="dprnn dual-path block count")
+    p.add_argument("--trunk", choices=["blstm", "dprnn", "tcn"])
+    p.add_argument("--blocks", type=int,
+                   help="dprnn dual-path block count / tcn blocks per repeat")
+    p.add_argument("--repeats", type=int, help="tcn dilation-ladder repeats")
+    p.add_argument("--kernel", type=int, help="tcn depthwise kernel width")
     p.add_argument("--chunk-frames", type=int, help="dprnn intra-chunk length K")
     p.add_argument("--dropout", type=float)
     p.add_argument("--feature-norm", choices=["global", "channel"])
@@ -89,6 +92,8 @@ def _build_recipe(args, store):
             "compute_dtype": getattr(args, "compute_dtype", None),
             "trunk": getattr(args, "trunk", None),
             "blocks": getattr(args, "blocks", None),
+            "repeats": getattr(args, "repeats", None),
+            "kernel": getattr(args, "kernel", None),
             "chunk_frames": getattr(args, "chunk_frames", None),
             "dropout": getattr(args, "dropout", None),
             "feature_norm": getattr(args, "feature_norm", None),

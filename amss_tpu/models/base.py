@@ -38,10 +38,24 @@ class SeparatorBase:
     def trunk_dim(self) -> int:
         """Width of the trunk's output features (what head projections see)."""
         c = self.cfg.sep
-        return c.hidden if c.trunk == "dprnn" else 2 * c.hidden
+        return c.hidden if c.trunk in ("dprnn", "tcn") else 2 * c.hidden
 
     def init_trunk(self, key) -> dict:
         c = self.cfg
+        if c.sep.trunk == "tcn":
+            from amss_tpu.models.tcn import init_tcn
+
+            return {
+                "tcn": init_tcn(
+                    key,
+                    c.front.feature_dim,
+                    bottleneck=c.sep.hidden,
+                    hidden=2 * c.sep.hidden,
+                    blocks=c.sep.blocks,
+                    repeats=c.sep.repeats,
+                    kernel=c.sep.kernel,
+                )
+            }
         if c.sep.trunk == "dprnn":
             from amss_tpu.models.dprnn import init_dprnn
 
@@ -76,6 +90,20 @@ class SeparatorBase:
             h = channel_norm(feats, frame_mask)
         else:
             h = instance_norm(feats, frame_mask)
+        if "tcn" in sep_params:
+            from amss_tpu.models.tcn import tcn_stack
+
+            return tcn_stack(
+                sep_params["tcn"],
+                h,
+                mask=frame_mask,
+                kernel=self.cfg.sep.kernel,
+                blocks_per_repeat=self.cfg.sep.blocks,
+                compute_dtype=self._compute_dtype(),
+                remat=self.cfg.sep.remat,
+                dropout_rate=self.cfg.sep.dropout,
+                rng=rng,
+            )  # [B, T', bottleneck]
         if "dprnn" in sep_params:
             from amss_tpu.models.dprnn import dprnn_stack
 

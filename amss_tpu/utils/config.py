@@ -53,9 +53,13 @@ class SeparatorConfig:
     # "dprnn" (dual-path intra/inter-chunk scans — shape, not size, is the
     # lever once a flat BLSTM saturates; also far fewer sequential scan steps
     # on TPU: 2*chunk_frames per block instead of T').
+    # "tcn" (Conv-TasNet-style dilated depthwise-separable conv stack — zero
+    # sequential steps; the most MXU-friendly trunk, models/tcn.py).
     trunk: str = "blstm"
     chunk_frames: int = 16  # dprnn intra-chunk length K (frames)
-    blocks: int = 6  # dprnn dual-path block count
+    blocks: int = 6  # dprnn dual-path block count / tcn blocks per repeat
+    repeats: int = 2  # tcn: repeats of the dilation ladder
+    kernel: int = 3  # tcn: depthwise conv kernel width P
     dropout: float = 0.0  # dropout rate on block outputs (train only)
     # trunk input normalization: "global" (utterance instance norm) or
     # "channel" (per-filter over time — for learned fronts whose per-filter

@@ -1,0 +1,156 @@
+"""Round-2b experiment driver: re-establish + extend the round-2 quality
+ladder after the /tmp wipe (corpora and runs are regenerated deterministically
+— same generator seeds — so numbers are comparable to PARITY.md round-1 rows).
+
+Every stage logs BOTH eval views:
+  *_bigtest : test split of the 100-spk x 120 s v2big training corpus
+  *_v2test  : the UNCHANGED round-1 v2 test mixtures (30-spk corpus, seed 0)
+
+Usage: python scripts/r2b_wave.py <stage> [...]
+Stages are registered in STAGES at the bottom.
+"""
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+RESULTS = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "quality_results.jsonl",
+)
+
+V1 = "/tmp/amss_corpus"
+V2 = "/tmp/amss_corpus_v2"
+V2BIG = "/tmp/amss_corpus_v2big"
+
+
+def log_result(rec):
+    rec["time"] = time.time()
+    print(json.dumps(rec), flush=True)
+    with open(RESULTS, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+
+
+def ensure_corpora():
+    from amss_tpu.data.synthetic import make_synthetic_corpus
+
+    jobs = [
+        (V1, dict(n_speakers=30, seconds_per_speaker=40.0, version=1, seed=0)),
+        (V2, dict(n_speakers=30, seconds_per_speaker=40.0, version=2, seed=0)),
+        (V2BIG, dict(n_speakers=100, seconds_per_speaker=120.0, version=2, seed=1)),
+    ]
+    for root, kw in jobs:
+        if not os.path.exists(os.path.join(root, "manifest.json")):
+            print("generating", root, kw, flush=True)
+            make_synthetic_corpus(root, **kw)
+
+
+def blind_eval(model, params, corpus: str, n: int = 32, chunk: int = 16384):
+    """Blind (k-means / feed-forward) separation over the disjoint test split
+    of `corpus`, using the same deterministic mixture convention as round 1
+    (Mixer seed 0, test split, steps 0..n-1, batch 1)."""
+    from amss_tpu.data.mixer import Mixer
+    from amss_tpu.data.store import SpeakerStore
+    from amss_tpu.infer.evaluate import evaluate_separation
+    from amss_tpu.infer.streaming import StreamingSeparator
+
+    mixer = Mixer(SpeakerStore(corpus), nb_speakers=2, chunk_samples=chunk, seed=0)
+    mixes, refs = [], []
+    for i in range(n):
+        hb = mixer.batch("test", i, 1)
+        refs.append(hb.sources[0])
+        mixes.append(hb.sources[0].sum(0))
+    sep = StreamingSeparator(model, params)
+    est = sep.separate_all(mixes)
+    out = evaluate_separation(np.stack(est), np.stack(refs), np.stack(mixes))
+    out["rtf"] = sep.meter.rtf
+    return out
+
+
+def train(recipe, corpus: str, workdir: str = "runs_r2b"):
+    from amss_tpu.data.store import SpeakerStore
+    from amss_tpu.train.engine import Trainer
+
+    tr = Trainer(recipe, SpeakerStore(corpus), workdir=workdir)
+    t0 = time.time()
+    state = tr.fit()
+    return tr, state, round(time.time() - t0, 1)
+
+
+def run_stage(name, recipe, corpus=V2BIG, evals=(("bigtest", V2BIG), ("v2test", V2))):
+    tr, state, secs = train(recipe, corpus)
+    for tag, ecorp in evals:
+        out = blind_eval(tr.model, state["params"], ecorp)
+        out.update(stage=f"{name}_{tag}", steps=recipe.train.steps,
+                   train_seconds=secs, run_dir=tr.dir)
+        log_result(out)
+    return tr, state
+
+
+def sized(recipe, steps, batch=16, lr=None, schedule=None, device_data=False,
+          **sep_over):
+    t = dataclasses.replace(
+        recipe.train, steps=steps, batch_size=batch,
+        valid_every=max(steps // 10, 1), device_data=device_data,
+        **({"lr": lr} if lr else {}),
+        **({"lr_schedule": schedule} if schedule else {}),
+    )
+    sep = dataclasses.replace(recipe.model.sep, **sep_over) if sep_over else recipe.model.sep
+    return dataclasses.replace(
+        recipe, train=t, model=dataclasses.replace(recipe.model, sep=sep)
+    )
+
+
+# ---------------------------------------------------------------- stages ---
+
+
+def stage_tasnet_base():
+    """c6 TasNet default (h128, 6 blocks) on the big corpus, 12k steps."""
+    from amss_tpu.configs.recipes import c6_tasnet
+
+    run_stage("tasnet_h128b6_12k", sized(c6_tasnet(), 12000))
+
+
+def stage_tasnet_reg():
+    """c6 with dropout 0.1 + cosine schedule — regularized variant."""
+    from amss_tpu.configs.recipes import c6_tasnet
+
+    run_stage("tasnet_h128b6_d01_cos_12k",
+              sized(c6_tasnet(), 12000, schedule="cosine", dropout=0.1))
+
+
+def stage_tasnet_big():
+    """c6 scaled: h192, 8 blocks, dropout, cosine, 24k steps."""
+    from amss_tpu.configs.recipes import c6_tasnet
+
+    run_stage("tasnet_h192b8_d01_cos_24k",
+              sized(c6_tasnet(), 24000, schedule="cosine",
+                    hidden=192, blocks=8, dropout=0.1))
+
+
+def stage_c1_ctrl():
+    """c1 BLSTM-DPCL control on the big corpus (the round-2 +7.4 dB row)."""
+    from amss_tpu.configs.recipes import c1_stft_dpcl
+
+    run_stage("c1_ctrl_big_10k", sized(c1_stft_dpcl(), 10000, embed_dim=40))
+
+
+STAGES = {
+    "tasnet_base": stage_tasnet_base,
+    "tasnet_reg": stage_tasnet_reg,
+    "tasnet_big": stage_tasnet_big,
+    "c1_ctrl": stage_c1_ctrl,
+}
+
+
+if __name__ == "__main__":
+    ensure_corpora()
+    for arg in sys.argv[1:]:
+        STAGES[arg]()
+    print("R2B WAVE DONE", flush=True)
