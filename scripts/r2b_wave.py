@@ -134,6 +134,15 @@ def stage_tasnet_big():
                     hidden=192, blocks=8, dropout=0.1))
 
 
+def stage_tasnet_tcn():
+    """c6 with the TCN trunk (Conv-TasNet): X=8 dilation ladder, R=3."""
+    from amss_tpu.configs.recipes import c6_tasnet
+
+    run_stage("tasnet_tcn_x8r3_12k",
+              sized(c6_tasnet(), 12000, schedule="cosine",
+                    trunk="tcn", blocks=8, repeats=3, dropout=0.0))
+
+
 def stage_c1_ctrl():
     """c1 BLSTM-DPCL control on the big corpus (the round-2 +7.4 dB row)."""
     from amss_tpu.configs.recipes import c1_stft_dpcl
@@ -141,10 +150,92 @@ def stage_c1_ctrl():
     run_stage("c1_ctrl_big_10k", sized(c1_stft_dpcl(), 10000, embed_dim=40))
 
 
+def stage_psa_ab():
+    """VERDICT item 4 A/B: MSA vs PSA targets, Chimera 3-mix + enh-on-c1.
+    (Re-establishes the round-2 numbers lost with /tmp.)"""
+    import dataclasses as dc
+
+    from amss_tpu.configs.recipes import c1_stft_dpcl, c4_chimera_3mix, enh_dpcl
+
+    for variant in ("msa", "psa"):
+        r = sized(c4_chimera_3mix(), 6000)
+        r = dc.replace(r, model=dc.replace(r.model, loss_variant=variant))
+        run_stage(f"c4_{variant}", r, corpus=V2BIG, evals=(("bigtest", V2BIG),))
+
+    tr1, _ = run_stage("c1_for_enh", sized(c1_stft_dpcl(), 8000, embed_dim=40),
+                       corpus=V2BIG, evals=(("bigtest", V2BIG),))
+    for variant in ("msa", "psa"):
+        r = sized(enh_dpcl(base_run=tr1.dir), 4000)
+        r = dc.replace(r, model=dc.replace(r.model, loss_variant=variant))
+        run_stage(f"enh_c1_{variant}", r, corpus=V2BIG,
+                  evals=(("bigtest", V2BIG), ("v2test", V2)))
+
+
+def stage_c2_levers():
+    """VERDICT item 2 levers on the big corpus: deep pretrain, no-pool
+    stride-128, per-filter channel norm (NOTES_r1 item 1 queue)."""
+    import dataclasses as dc
+
+    from amss_tpu.configs.recipes import _SEP
+    from amss_tpu.utils.config import FrontConfig, ModelConfig, RecipeConfig, TrainConfig
+
+    from amss_tpu.data.store import SpeakerStore
+    from amss_tpu.train.engine import Trainer
+
+    store = SpeakerStore(V2BIG)
+
+    def run_c2(name, fr, pre_steps, steps=10000, feature_norm="global"):
+        sep = dc.replace(_SEP, embed_dim=40, feature_norm=feature_norm)
+        pre = RecipeConfig(
+            name=f"{name}_pre",
+            model=ModelConfig(kind="adapt_ae", front=fr, sep=sep),
+            train=TrainConfig(steps=pre_steps, batch_size=16,
+                              valid_every=max(pre_steps // 4, 1)),
+        )
+        trp = Trainer(pre, store, workdir="runs_r2b")
+        trp.fit()
+        rec = RecipeConfig(
+            name=name,
+            model=ModelConfig(kind="dpcl", front=fr, sep=sep, nb_speakers=2,
+                              recon_weight=0.2),
+            train=TrainConfig(steps=steps, batch_size=16, lr=3e-4,
+                              valid_every=steps // 5),
+            pretrained_front=trp.dir,
+            freeze_front_steps=1500,
+        )
+        tr, state, secs = train(rec, V2BIG)
+        for tag, ecorp in (("bigtest", V2BIG), ("v2test", V2)):
+            out = blind_eval(tr.model, state["params"], ecorp)
+            out.update(stage=f"{name}_{tag}", steps=steps, train_seconds=secs,
+                       run_dir=tr.dir)
+            log_result(out)
+
+    pooled = FrontConfig(kind="adapt", n_filters=256, filter_len=256,
+                         stride=64, pool=2)
+    nopool = FrontConfig(kind="adapt", n_filters=256, filter_len=256,
+                         stride=128, pool=1)
+    run_c2("c2_deeppre25k", pooled, pre_steps=25000)
+    run_c2("c2_nopool_s128", nopool, pre_steps=10000)
+    run_c2("c2_chnorm", pooled, pre_steps=10000, feature_norm="channel")
+
+
+def stage_enh_best():
+    """Residual enhancement stacked on the best TasNet run (pass run dir)."""
+    from amss_tpu.configs.recipes import enh_dpcl
+
+    base = sys.argv[sys.argv.index("enh_best") + 1]
+    r = sized(enh_dpcl(base_run=base), 6000)
+    run_stage("enh_on_tasnet", r)
+
+
 STAGES = {
     "tasnet_base": stage_tasnet_base,
     "tasnet_reg": stage_tasnet_reg,
     "tasnet_big": stage_tasnet_big,
+    "tasnet_tcn": stage_tasnet_tcn,
+    "psa_ab": stage_psa_ab,
+    "c2_levers": stage_c2_levers,
+    "enh_best": stage_enh_best,
     "c1_ctrl": stage_c1_ctrl,
 }
 
@@ -152,5 +243,6 @@ STAGES = {
 if __name__ == "__main__":
     ensure_corpora()
     for arg in sys.argv[1:]:
-        STAGES[arg]()
+        if arg in STAGES:  # non-stage args are consumed by stages (enh_best)
+            STAGES[arg]()
     print("R2B WAVE DONE", flush=True)
