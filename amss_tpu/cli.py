@@ -46,7 +46,9 @@ def _add_train_overrides(p: argparse.ArgumentParser):
     p.add_argument("--kernel", type=int, help="tcn depthwise kernel width")
     p.add_argument("--chunk-frames", type=int, help="dprnn intra-chunk length K")
     p.add_argument("--dropout", type=float)
-    p.add_argument("--feature-norm", choices=["global", "channel"])
+    p.add_argument("--feature-norm", choices=["global", "channel", "cumulative"])
+    p.add_argument("--causal", action="store_const", const=True, default=None,
+                   help="causal TCN trunk (low-latency streaming, recipe c7)")
     p.add_argument("--loss-variant", choices=["msa", "psa"],
                    help="mask-inference target (psa = phase-sensitive)")
     p.add_argument("--weight-kind", choices=["vad", "magnitude", "magvad"])
@@ -97,6 +99,7 @@ def _build_recipe(args, store):
             "chunk_frames": getattr(args, "chunk_frames", None),
             "dropout": getattr(args, "dropout", None),
             "feature_norm": getattr(args, "feature_norm", None),
+            "causal": getattr(args, "causal", None),
         }.items()
         if v is not None
     }

@@ -110,6 +110,28 @@ def c6_tasnet(**over) -> RecipeConfig:
     )
 
 
+def c7_realtime(**over) -> RecipeConfig:
+    """Causal low-latency TasNet (beyond-reference): causal TCN trunk +
+    cumulative input norm, separable in fixed-size chunks with EXACT equality
+    to offline separation (infer/realtime.py).  Algorithmic latency =
+    chunk + (filter_len - stride) samples (2 ms decoder lookahead at 8 kHz)."""
+    return RecipeConfig(
+        name="c7_realtime",
+        model=ModelConfig(
+            kind="tasnet",
+            front=FrontConfig(
+                kind="adapt", n_filters=256, filter_len=32, stride=16, pool=1
+            ),
+            sep=SeparatorConfig(
+                hidden=128, embed_dim=20, trunk="tcn", blocks=8, repeats=2,
+                causal=True, feature_norm="cumulative",
+            ),
+            nb_speakers=2,
+        ),
+        train=TrainConfig(**{"batch_size": 8, "chunk_samples": 16384, "lr": 1e-3, **over}),
+    )
+
+
 def enh_dpcl(base_run: str | None = None, **over) -> RecipeConfig:
     """Enhancement/refinement stage (SURVEY.md §2.5 recipe 4, Isik et al.
     second-stage): small BLSTM refines a frozen base separator's estimates."""
@@ -134,5 +156,6 @@ ALL_RECIPES = {
     "c4": c4_chimera_3mix,
     "c5": c5_streaming,
     "c6": c6_tasnet,
+    "c7": c7_realtime,
     "enh": enh_dpcl,
 }

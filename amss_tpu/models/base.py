@@ -88,6 +88,10 @@ class SeparatorBase:
             from amss_tpu.models.front import channel_norm
 
             h = channel_norm(feats, frame_mask)
+        elif self.cfg.sep.feature_norm == "cumulative":
+            from amss_tpu.models.front import cumulative_norm
+
+            h, _ = cumulative_norm(feats, frame_mask)
         else:
             h = instance_norm(feats, frame_mask)
         if "tcn" in sep_params:
@@ -103,6 +107,7 @@ class SeparatorBase:
                 remat=self.cfg.sep.remat,
                 dropout_rate=self.cfg.sep.dropout,
                 rng=rng,
+                causal=self.cfg.sep.causal,
             )  # [B, T', bottleneck]
         if "dprnn" in sep_params:
             from amss_tpu.models.dprnn import dprnn_stack

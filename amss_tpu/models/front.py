@@ -195,6 +195,42 @@ def channel_norm(
     return (feats - mu) * jax_rsqrt(var + 1e-5)
 
 
+def cumulative_norm(
+    feats: jnp.ndarray,  # [..., T', F]
+    frame_mask: jnp.ndarray | None = None,  # [..., T'] 1=valid
+    carry: tuple | None = None,  # (count, sum, sumsq) stats of frames BEFORE t=0
+) -> tuple[jnp.ndarray, tuple]:
+    """Causal utterance norm: frame t is normalized by the running mean/var of
+    all valid frames <= t (cumulative layer norm, Conv-TasNet causal mode).
+
+    Unlike instance_norm nothing here reads the future, so it is the input
+    norm for the streaming path (infer/realtime.py): `carry` seeds the
+    running stats with everything that scrolled out of the current window,
+    making block-streaming outputs EXACTLY equal full-utterance outputs.
+
+    Returns (normalized feats, (count, sum, sumsq) totals over all frames)."""
+    f = feats.shape[-1]
+    if frame_mask is None:
+        valid = jnp.ones(feats.shape[:-1], feats.dtype)
+    else:
+        valid = frame_mask.astype(feats.dtype)
+    x = feats * valid[..., None]
+    cnt = jnp.cumsum(valid, axis=-1) * f  # [..., T'] scalars-per-frame
+    s = jnp.cumsum(jnp.sum(x, axis=-1), axis=-1)
+    ss = jnp.cumsum(jnp.sum(x * x, axis=-1), axis=-1)
+    if carry is not None:
+        c0, s0, ss0 = carry
+        cnt, s, ss = cnt + c0, s + s0, ss + ss0
+    denom = jnp.maximum(cnt, 1.0)
+    mu = s / denom
+    var = jnp.maximum(ss / denom - mu * mu, 0.0)
+    out = (feats - mu[..., None]) * jax_rsqrt(var[..., None] + 1e-5)
+    if frame_mask is not None:
+        out = out * valid[..., None]
+    totals = (cnt[..., -1], s[..., -1], ss[..., -1])
+    return out, totals
+
+
 def jax_rsqrt(x):
     return 1.0 / jnp.sqrt(x)
 

@@ -82,13 +82,24 @@ def init_tcn(
     }
 
 
-def _depthwise_dilated(w: jnp.ndarray, x: jnp.ndarray, dilation: int) -> jnp.ndarray:
-    """Non-causal depthwise conv as P shifted scaled adds.
+def receptive_field_frames(blocks: int, repeats: int, kernel: int) -> int:
+    """One-sided (past) receptive field of the causal TCN, in frames."""
+    return repeats * (kernel - 1) * (2**blocks - 1)
 
-    w [P, C], x [B, T, C] -> [B, T, C]; symmetric zero padding (P-1)*d total."""
+
+def _depthwise_dilated(
+    w: jnp.ndarray, x: jnp.ndarray, dilation: int, causal: bool = False
+) -> jnp.ndarray:
+    """Depthwise conv as P shifted scaled adds.
+
+    w [P, C], x [B, T, C] -> [B, T, C]; zero padding (P-1)*d total —
+    symmetric (non-causal) or all-left (causal: output[t] reads x[<= t])."""
     p = w.shape[0]
-    left = (p // 2) * dilation
-    right = (p - 1 - p // 2) * dilation
+    if causal:
+        left, right = (p - 1) * dilation, 0
+    else:
+        left = (p // 2) * dilation
+        right = (p - 1 - p // 2) * dilation
     xp = jnp.pad(x, ((0, 0), (left, right), (0, 0)))
     t = x.shape[1]
     out = jnp.zeros_like(x)
@@ -107,8 +118,13 @@ def tcn_stack(
     remat: bool = False,
     dropout_rate: float = 0.0,
     rng=None,
+    causal: bool = False,
 ) -> jnp.ndarray:
-    """-> [B, T', bottleneck] (PReLU of the skip-connection sum)."""
+    """-> [B, T', bottleneck] (PReLU of the skip-connection sum).
+
+    causal=True makes every dilated conv left-padded only, so output frame t
+    depends exclusively on input frames <= t — the low-latency streaming mode
+    (infer/realtime.py); receptive field = repeats * (P-1) * (2^X - 1)."""
     n_blocks = len(params["blocks"])
     xpr = blocks_per_repeat or n_blocks
     m = None if mask is None else mask[..., None].astype(x.dtype)
@@ -120,7 +136,7 @@ def tcn_stack(
     def block(bp, h, dil, r):
         u = prelu(bp["a1"], dense(bp["pw_in"], h, compute_dtype))
         u = layer_norm(bp["ln1"], u)
-        v = _depthwise_dilated(bp["dw"], u if m is None else u * m, dil)
+        v = _depthwise_dilated(bp["dw"], u if m is None else u * m, dil, causal)
         v = prelu(bp["a2"], v)
         v = layer_norm(bp["ln2"], v)
         res = dropout(r, dense(bp["pw_res"], v, compute_dtype), dropout_rate)

@@ -60,6 +60,10 @@ class SeparatorConfig:
     blocks: int = 6  # dprnn dual-path block count / tcn blocks per repeat
     repeats: int = 2  # tcn: repeats of the dilation ladder
     kernel: int = 3  # tcn: depthwise conv kernel width P
+    # causal=True (tcn only): left-padded dilated convs — frame t never reads
+    # the future; pair with feature_norm="cumulative" for the exact
+    # low-latency streaming path (infer/realtime.py).
+    causal: bool = False
     dropout: float = 0.0  # dropout rate on block outputs (train only)
     # trunk input normalization: "global" (utterance instance norm) or
     # "channel" (per-filter over time — for learned fronts whose per-filter

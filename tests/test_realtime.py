@@ -1,0 +1,85 @@
+"""Causal streaming path: cumulative norm, causal TCN, and the exactness
+contract of RealtimeSeparator (streamed chunks == offline separation)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from amss_tpu.configs.recipes import c7_realtime
+from amss_tpu.infer.realtime import RealtimeSeparator
+from amss_tpu.models.front import cumulative_norm, instance_norm
+from amss_tpu.models.tcn import init_tcn, tcn_stack
+from amss_tpu.train.engine import make_model
+
+
+def _tiny_c7(chunk_samples=1024):
+    r = c7_realtime()
+    sep = dataclasses.replace(r.model.sep, hidden=16, blocks=3, repeats=2)
+    return dataclasses.replace(r.model, sep=sep)
+
+
+def test_cumulative_norm_causal_and_final_stats_match_instance():
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 20, 6))
+    out, totals = cumulative_norm(x)
+    # causality: truncating the input leaves earlier frames unchanged
+    out_trunc, _ = cumulative_norm(x[:, :9])
+    np.testing.assert_allclose(np.asarray(out[:, :9]), np.asarray(out_trunc),
+                               rtol=1e-6, atol=1e-6)
+    # the LAST frame sees full-utterance stats == instance_norm of that frame
+    np.testing.assert_allclose(
+        np.asarray(out[:, -1]), np.asarray(instance_norm(x)[:, -1]),
+        rtol=1e-5, atol=1e-5,
+    )
+    np.testing.assert_allclose(np.asarray(totals[0]), 20 * 6)
+
+
+def test_cumulative_norm_carry_equals_unsplit():
+    """Seeding with carried stats reproduces the unsplit computation — the
+    invariant RealtimeSeparator's window scrolling rests on."""
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 24, 5))
+    full, _ = cumulative_norm(x)
+    head, stats = cumulative_norm(x[:, :10])
+    tail, _ = cumulative_norm(x[:, 10:], carry=stats)
+    np.testing.assert_allclose(np.asarray(full[:, 10:]), np.asarray(tail),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_causal_tcn_never_reads_future():
+    p = init_tcn(jax.random.PRNGKey(0), 8, 12, 16, 3, repeats=2)
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 40, 8))
+    base = np.asarray(tcn_stack(p, x, blocks_per_repeat=3, causal=True))
+    x2 = x.at[0, 25:, :].add(100.0)  # perturb the future
+    pert = np.asarray(tcn_stack(p, x2, blocks_per_repeat=3, causal=True))
+    np.testing.assert_array_equal(base[:, :25], pert[:, :25])
+    assert np.abs(base[:, 25:] - pert[:, 25:]).max() > 0
+
+
+def test_realtime_separator_exact_vs_offline():
+    """The headline contract: pushing chunks through RealtimeSeparator yields
+    EXACTLY model.separate's output (same jit-level numerics modulo 1e-5)."""
+    cfg = _tiny_c7()
+    model = make_model(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    t = 5000  # deliberately NOT a multiple of the chunk size
+    wave = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(3), (t,)) * 0.3, np.float32
+    )
+    offline = np.asarray(model.separate(params, jnp.asarray(wave)[None])[0])
+    rt = RealtimeSeparator(model, params, chunk_samples=1024)
+    streamed = rt.separate_stream(wave)
+    assert streamed.shape == offline.shape == (2, t)
+    np.testing.assert_allclose(streamed, offline, rtol=1e-4, atol=1e-5)
+
+
+def test_realtime_rejects_noncausal_model():
+    from amss_tpu.configs.recipes import c6_tasnet
+
+    model = make_model(c6_tasnet().model)
+    params = model.init(jax.random.PRNGKey(0))
+    try:
+        RealtimeSeparator(model, params)
+        raise AssertionError("should have rejected non-causal model")
+    except ValueError:
+        pass
