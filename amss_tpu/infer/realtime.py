@@ -51,7 +51,7 @@ class RealtimeSeparator:
     """
 
     def __init__(self, model, params, chunk_samples: int = 4096,
-                 history_frames: int | None = None):
+                 history_frames: int | None = None, sample_rate: int = 8000):
         c = model.cfg
         f, s = c.front, c.sep
         if not (s.trunk == "tcn" and s.causal):
@@ -83,6 +83,7 @@ class RealtimeSeparator:
         # encoder window: (tw + lead) frames -> samples
         self.w_ext = (self.tw + self.lead - 1) * f.stride + f.filter_len
 
+        self.sample_rate = sample_rate
         self.n_spk = c.nb_speakers
         self._buf = np.zeros(self.w_ext, np.float32)
         self._carry = (jnp.zeros(()), jnp.zeros(()), jnp.zeros(()))
@@ -208,5 +209,5 @@ class RealtimeSeparator:
     def rtf(self) -> float:
         """Compute-only real-time factor over everything pushed so far
         (first-push compile excluded; serving reuses the cache)."""
-        audio_s = max(self._pushes - 1, 0) * self.c / 8000.0
+        audio_s = max(self._pushes - 1, 0) * self.c / self.sample_rate
         return self.compute_seconds / audio_s if audio_s else float("inf")

@@ -150,6 +150,19 @@ def stage_c1_ctrl():
     run_stage("c1_ctrl_big_10k", sized(c1_stft_dpcl(), 10000, embed_dim=40))
 
 
+def stage_tasnet_tcn_big():
+    """Scaled TCN flagship: wider bottleneck, 4 s chunks (the 1530-frame
+    receptive field only fits with longer chunks), cosine, 30k steps."""
+    import dataclasses as dc
+
+    from amss_tpu.configs.recipes import c6_tasnet
+
+    r = sized(c6_tasnet(), 30000, batch=8, schedule="cosine",
+              trunk="tcn", blocks=8, repeats=3, hidden=192, dropout=0.0)
+    r = dc.replace(r, train=dc.replace(r.train, chunk_samples=32768))
+    run_stage("tasnet_tcnbig_h192x8r3_30k_c4s", r)
+
+
 def stage_psa_ab():
     """VERDICT item 4 A/B: MSA vs PSA targets, Chimera 3-mix + enh-on-c1.
     (Re-establishes the round-2 numbers lost with /tmp.)"""
@@ -233,6 +246,7 @@ STAGES = {
     "tasnet_reg": stage_tasnet_reg,
     "tasnet_big": stage_tasnet_big,
     "tasnet_tcn": stage_tasnet_tcn,
+    "tasnet_tcn_big": stage_tasnet_tcn_big,
     "psa_ab": stage_psa_ab,
     "c2_levers": stage_c2_levers,
     "enh_best": stage_enh_best,
