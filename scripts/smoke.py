@@ -30,6 +30,7 @@ from amss_tpu.configs.recipes import (
     c3_l41,
     c4_chimera_3mix,
     c6_tasnet,
+    c7_realtime,
 )
 from amss_tpu.data.synthetic import make_synthetic_corpus
 from amss_tpu.train.engine import Trainer
@@ -69,6 +70,24 @@ def main():
             model=dataclasses.replace(c4_chimera_3mix().model, loss_variant="psa"),
         ))),
         ("c6_tasnet", tiny(c6_tasnet())),
+        ("c6_tasnet_tcn", tiny(dataclasses.replace(
+            c6_tasnet(),
+            model=dataclasses.replace(
+                c6_tasnet().model,
+                sep=dataclasses.replace(
+                    c6_tasnet().model.sep, trunk="tcn", blocks=3, repeats=2
+                ),
+            ),
+        ))),
+        ("c7_realtime", tiny(dataclasses.replace(
+            c7_realtime(),
+            model=dataclasses.replace(
+                c7_realtime().model,
+                sep=dataclasses.replace(
+                    c7_realtime().model.sep, blocks=3, repeats=2
+                ),
+            ),
+        ))),
     ]:
         tr = Trainer(recipe, store, workdir=runs)
         state = tr.fit()
