@@ -28,6 +28,7 @@ RESULTS = os.path.join(
 V1 = "/tmp/amss_corpus"
 V2 = "/tmp/amss_corpus_v2"
 V2BIG = "/tmp/amss_corpus_v2big"
+V2HUGE = "/tmp/amss_corpus_v2huge"
 
 
 def log_result(rec):
@@ -163,6 +164,23 @@ def stage_tasnet_tcn_big():
     run_stage("tasnet_tcnbig_h192x8r3_30k_c4s", r)
 
 
+def stage_tasnet_tcn_huge():
+    """Speaker-diversity lever: 250-spk corpus (data, not capacity, moved the
+    needle in round 2 — h192/30k matched h128/12k, so scale the corpus)."""
+    from amss_tpu.data.synthetic import make_synthetic_corpus
+
+    if not os.path.exists(os.path.join(V2HUGE, "manifest.json")):
+        make_synthetic_corpus(V2HUGE, n_speakers=250, seconds_per_speaker=60.0,
+                              version=2, seed=2)
+    from amss_tpu.configs.recipes import c6_tasnet
+
+    run_stage("tasnet_tcn_x8r3_huge_16k",
+              sized(c6_tasnet(), 16000, schedule="cosine",
+                    trunk="tcn", blocks=8, repeats=3),
+              corpus=V2HUGE,
+              evals=(("hugetest", V2HUGE), ("v2test", V2)))
+
+
 def stage_psa_ab():
     """VERDICT item 4 A/B: MSA vs PSA targets, Chimera 3-mix + enh-on-c1.
     (Re-establishes the round-2 numbers lost with /tmp.)"""
@@ -247,6 +265,7 @@ STAGES = {
     "tasnet_big": stage_tasnet_big,
     "tasnet_tcn": stage_tasnet_tcn,
     "tasnet_tcn_big": stage_tasnet_tcn_big,
+    "tasnet_tcn_huge": stage_tasnet_tcn_huge,
     "psa_ab": stage_psa_ab,
     "c2_levers": stage_c2_levers,
     "enh_best": stage_enh_best,
