@@ -90,9 +90,15 @@ def c5_streaming(**over) -> RecipeConfig:
 
 def c6_tasnet(**over) -> RecipeConfig:
     """TasNet-style end-to-end separation (beyond-reference model family):
-    short-window adaptive filterbank + dual-path trunk + sigmoid masks,
-    trained on waveform PIT SI-SDR.  The strongest blind path in this repo —
-    published lineage reaches 15+ dB SI-SDRi on WSJ0-2mix."""
+    short-window adaptive filterbank + trunk + sigmoid masks, trained on
+    waveform PIT SI-SDR.  The strongest blind path in this repo — published
+    lineage reaches 15+ dB SI-SDRi on WSJ0-2mix.
+
+    Default trunk is the Conv-TasNet-style TCN (X=8 dilation ladder, R=3),
+    the best-measured blind config (PARITY.md round-2 ladder: +9.30 dB
+    SI-SDRi / +10.15 SDRi v2test, beating dual-path +8.56 at equal steps)
+    and the fastest (feed-forward, MXU-dominated).  `--trunk dprnn
+    --blocks 6` restores the dual-path variant."""
     return RecipeConfig(
         name="c6_tasnet",
         model=ModelConfig(
@@ -101,12 +107,15 @@ def c6_tasnet(**over) -> RecipeConfig:
                 kind="adapt", n_filters=256, filter_len=32, stride=16, pool=1
             ),
             sep=SeparatorConfig(
-                hidden=128, layers=2, embed_dim=20, trunk="dprnn", blocks=6,
-                chunk_frames=32, dropout=0.0,
+                hidden=128, layers=2, embed_dim=20, trunk="tcn", blocks=8,
+                repeats=3, chunk_frames=32, dropout=0.0,
             ),
             nb_speakers=2,
         ),
-        train=TrainConfig(**{"batch_size": 8, "chunk_samples": 16384, "lr": 1e-3, **over}),
+        train=TrainConfig(
+            **{"batch_size": 8, "chunk_samples": 16384, "lr": 1e-3,
+               "lr_schedule": "cosine", **over}
+        ),
     )
 
 
