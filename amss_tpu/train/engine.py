@@ -346,13 +346,16 @@ class Trainer:
         try:
             hb = self.mixer.batch("valid", 0, 1)
             mix = jnp.asarray(hb.sources.sum(axis=1))
-            codes, _ = self.model.front.encode(params["front"], mix)
-            feats = self.model.front.features(params["front"], codes)
+            # enhance models carry no "front" subtree of their own — their
+            # frozen analysis params live on the model (resolved base chain)
+            fp = params.get("front", getattr(self.model, "front_params", None))
+            codes, _ = self.model.front.encode(fp, mix)
+            feats = self.model.front.features(fp, codes)
             self.writer.image(step + 1, "valid/mix_log_spectrogram",
                               np.asarray(feats[0]).T)
             if hasattr(self.model, "separate"):
                 est = self.model.separate(params, mix)
-                ecodes, _ = self.model.front.encode(params["front"], est[:, 0])
+                ecodes, _ = self.model.front.encode(fp, est[:, 0])
                 self.writer.image(step + 1, "valid/est0_log_spectrogram",
                                   np.log(np.asarray(ecodes[0]).T + 1e-7))
         except Exception:
