@@ -31,7 +31,25 @@ class EnhancerModel:
 
     def __init__(self, cfg: ModelConfig, base_model, base_params):
         assert cfg.kind == "enhance"
-        self.cfg = cfg
+        # Adopt the BASE's front config wholesale: everything downstream that
+        # reads cfg.front (StreamingSeparator's frames_for, frame masks, RTF
+        # bucketing) must see the front that actually runs — the base chain's
+        # — not the enhance recipe's default (an STFT/adapt mismatch used to
+        # surface as a broadcast error deep inside separate()).
+        import dataclasses as _dc
+
+        if cfg.front != base_model.cfg.front:
+            import warnings
+
+            warnings.warn(
+                f"enhance recipe front ({cfg.front.kind}, "
+                f"feature_dim={cfg.front.feature_dim}) differs from base "
+                f"run's ({base_model.cfg.front.kind}, "
+                f"feature_dim={base_model.cfg.front.feature_dim}); "
+                "using the base's front."
+            )
+        self.cfg = _dc.replace(cfg, front=base_model.cfg.front)
+        cfg = self.cfg
         self.base = base_model
         self.base_params = jax.tree_util.tree_map(jax.lax.stop_gradient, base_params)
         self.front = base_model.front  # same analysis front as the base
@@ -40,14 +58,6 @@ class EnhancerModel:
         # base chain, so a recipe/base front mismatch must not produce an
         # opaque shape error downstream.
         self.feature_dim = self.front.cfg.feature_dim
-        if cfg.front.feature_dim != self.feature_dim:
-            import warnings
-
-            warnings.warn(
-                f"enhance recipe front (feature_dim={cfg.front.feature_dim}) "
-                f"differs from base run's front (feature_dim={self.feature_dim}); "
-                "sizing the refiner from the base's front."
-            )
         # Front params live in the base for first-stage bases, but in the
         # base's OWN base when stacking enhancement stages.
         self.front_params = (

@@ -61,7 +61,8 @@ def blind_eval(model, params, corpus: str, n: int = 32, chunk: int = 16384):
     from amss_tpu.infer.evaluate import evaluate_separation
     from amss_tpu.infer.streaming import StreamingSeparator
 
-    mixer = Mixer(SpeakerStore(corpus), nb_speakers=2, chunk_samples=chunk, seed=0)
+    mixer = Mixer(SpeakerStore(corpus), nb_speakers=model.cfg.nb_speakers,
+                  chunk_samples=chunk, seed=0)
     mixes, refs = [], []
     for i in range(n):
         hb = mixer.batch("test", i, 1)

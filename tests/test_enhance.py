@@ -96,3 +96,51 @@ def test_enhancer_over_tasnet_base(tmp_path):
     assert np.abs(np.asarray(g["separator"]["proj"]["w"])).sum() >= 0
     est = enh.separate(params, jnp.sum(src, axis=1))
     assert est.shape == (2, 2, 1024)
+
+
+def test_enhancer_cfg_front_matches_base_and_streams(tmp_path):
+    """Regression: cfg.front must be the BASE's front after construction, so
+    StreamingSeparator's frame-count math (frames_for) matches the features
+    that actually flow — an STFT-vs-adapt mismatch used to raise a broadcast
+    error deep inside separate()."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from amss_tpu.configs.recipes import c6_tasnet, enh_dpcl
+    from amss_tpu.infer.streaming import StreamingSeparator
+    from amss_tpu.models.enhance import EnhancerModel
+    from amss_tpu.models.tasnet import TasNetModel
+
+    r6 = c6_tasnet()
+    r6 = dataclasses.replace(
+        r6,
+        model=dataclasses.replace(
+            r6.model,
+            front=dataclasses.replace(r6.model.front, n_filters=32,
+                                      filter_len=16, stride=8),
+            sep=dataclasses.replace(r6.model.sep, hidden=16, blocks=1,
+                                    chunk_frames=8),
+        ),
+    )
+    base = TasNetModel(r6.model)
+    base_params = base.init(jax.random.PRNGKey(0))
+    re = enh_dpcl()
+    re = dataclasses.replace(
+        re,
+        model=dataclasses.replace(
+            re.model, sep=dataclasses.replace(re.model.sep, hidden=12, layers=1)
+        ),
+    )
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        enh = EnhancerModel(re.model, base, base_params)
+    assert enh.cfg.front == r6.model.front  # adopted, not the recipe's STFT
+    params = enh.init(jax.random.PRNGKey(1))
+    sep = StreamingSeparator(enh, params)
+    waves = [np.random.default_rng(0).standard_normal(1500).astype(np.float32)]
+    est = sep.separate_all(waves)
+    assert est[0].shape == (2, 1500)
