@@ -99,6 +99,23 @@ def main():
     except Exception as e:
         tasnet_fields = {"tasnet_rtf_error": repr(e)[:120]}
 
+    # Tertiary: causal low-latency streaming (c7) — per-chunk serving RTF
+    # through RealtimeSeparator (each push pays a tunnel round trip; on-host
+    # serving would be lower).
+    realtime_fields = {}
+    try:
+        from amss_tpu.configs.recipes import c7_realtime
+        from amss_tpu.infer.realtime import RealtimeSeparator
+
+        model7 = make_model(c7_realtime().model)
+        params7 = model7.init(jax.random.PRNGKey(0))
+        rt = RealtimeSeparator(model7, params7, chunk_samples=8192)
+        for i in range(12):
+            rt.push(waves[i % len(waves)][:8192])
+        realtime_fields = {"realtime_rtf_1s_chunks": round(rt.rtf, 5)}
+    except Exception as e:
+        realtime_fields = {"realtime_rtf_error": repr(e)[:120]}
+
     print(
         json.dumps(
             {
@@ -108,6 +125,7 @@ def main():
                 "vs_baseline": round(target / rtf, 3),
                 **mfu_fields,
                 **tasnet_fields,
+                **realtime_fields,
             }
         )
     )

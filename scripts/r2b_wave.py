@@ -252,12 +252,15 @@ def stage_c2_levers():
 
 
 def stage_enh_best():
-    """Residual enhancement stacked on the best TasNet run (pass run dir)."""
+    """Residual enhancement stacked on the best TasNet run:
+    `enh_best <base_run_dir> [train_corpus]`."""
     from amss_tpu.configs.recipes import enh_dpcl
 
-    base = sys.argv[sys.argv.index("enh_best") + 1]
+    i = sys.argv.index("enh_best")
+    base = sys.argv[i + 1]
+    corpus = sys.argv[i + 2] if len(sys.argv) > i + 2 and sys.argv[i + 2] not in STAGES else V2BIG
     r = sized(enh_dpcl(base_run=base), 6000)
-    run_stage("enh_on_tasnet", r)
+    run_stage("enh_on_tasnet", r, corpus=corpus)
 
 
 STAGES = {
