@@ -182,6 +182,22 @@ def stage_tasnet_tcn_huge():
               evals=(("hugetest", V2HUGE), ("v2test", V2)))
 
 
+def stage_tasnet_tcn_max():
+    """Push the speaker-diversity lever once more: 500 speakers."""
+    from amss_tpu.data.synthetic import make_synthetic_corpus
+
+    v2max = "/tmp/amss_corpus_v2max"
+    if not os.path.exists(os.path.join(v2max, "manifest.json")):
+        make_synthetic_corpus(v2max, n_speakers=500, seconds_per_speaker=40.0,
+                              version=2, seed=3)
+    from amss_tpu.configs.recipes import c6_tasnet
+
+    run_stage("tasnet_tcn_x8r3_max500_16k",
+              sized(c6_tasnet(), 16000),
+              corpus=v2max,
+              evals=(("maxtest", v2max), ("v2test", V2)))
+
+
 def stage_psa_ab():
     """VERDICT item 4 A/B: MSA vs PSA targets, Chimera 3-mix + enh-on-c1.
     (Re-establishes the round-2 numbers lost with /tmp.)"""
@@ -270,6 +286,7 @@ STAGES = {
     "tasnet_tcn": stage_tasnet_tcn,
     "tasnet_tcn_big": stage_tasnet_tcn_big,
     "tasnet_tcn_huge": stage_tasnet_tcn_huge,
+    "tasnet_tcn_max": stage_tasnet_tcn_max,
     "psa_ab": stage_psa_ab,
     "c2_levers": stage_c2_levers,
     "enh_best": stage_enh_best,
