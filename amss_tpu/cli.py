@@ -49,7 +49,7 @@ def _add_train_overrides(p: argparse.ArgumentParser):
     p.add_argument("--feature-norm", choices=["global", "channel", "cumulative"])
     p.add_argument("--causal", action="store_const", const=True, default=None,
                    help="causal TCN trunk (low-latency streaming, recipe c7)")
-    p.add_argument("--loss-variant", choices=["msa", "psa"],
+    p.add_argument("--loss-variant", choices=["msa", "psa", "sisdr"],
                    help="mask-inference target (psa = phase-sensitive)")
     p.add_argument("--weight-kind", choices=["vad", "magnitude", "magvad"])
     p.add_argument("--vad-threshold-db", type=float)

@@ -125,8 +125,27 @@ class EnhancerModel:
     def loss(self, params: dict, sources: jnp.ndarray, rng=None):
         mix = jnp.sum(sources, axis=1)
         codes, aux, est_codes = self._base_separate_codes(mix)
-        src_codes, src_aux = self.front.encode(self.front_params, sources)
         masks = self._refined_masks(params, codes, est_codes)
+        # sisdr: refine in the BASE's own objective domain — waveform PIT
+        # SI-SDR through the decoder.  Mask-domain regression (msa/psa)
+        # measurably REGRESSES waveform-trained (TasNet) bases: the refiner
+        # pulls masks toward magnitude targets the base deliberately traded
+        # away for SI-SDR (round-2 ladder, enh_on_tasnet rows).
+        if self.cfg.loss_variant == "sisdr":
+            from amss_tpu.ops.metrics import pit_si_sdr
+
+            masked = jnp.moveaxis(codes[..., None] * masks, -1, 1)
+            aux_b = {
+                k: (v[:, None] if isinstance(v, jnp.ndarray) else v)
+                for k, v in aux.items()
+            }
+            est = self.front.decode(
+                self.front_params, masked, aux_b, sources.shape[-1]
+            )
+            sdr, _ = pit_si_sdr(est, sources)
+            l = -jnp.mean(sdr)
+            return l, {"enhance_neg_sisdr": l}
+        src_codes, src_aux = self.front.encode(self.front_params, sources)
         w = vad_weights(codes, self.cfg.vad_threshold_db)
         # psa: refine toward phase-sensitive targets (cfg.loss_variant)
         if self.cfg.loss_variant == "psa" and "cos" in aux:

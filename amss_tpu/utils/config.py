@@ -83,9 +83,11 @@ class ModelConfig:
     # loss bin weighting: "vad" (binary, classic DPCL) or "magnitude"
     # (magnitude-ratio, DPCL+/Chimera++ style — emphasizes loud bins)
     weight_kind: str = "vad"
-    # mask-inference regression target: "msa" (magnitude spectrum approx.) or
+    # mask-inference regression target: "msa" (magnitude spectrum approx.),
     # "psa" (truncated phase-sensitive approx., Chimera++) — psa needs a
-    # phase-carrying front (stft); learned fronts fall back to msa
+    # phase-carrying front (stft); learned fronts fall back to msa — or
+    # "sisdr" (enhance stage only: waveform PIT SI-SDR through the decoder,
+    # the right refinement objective over waveform-trained TasNet bases)
     loss_variant: str = "msa"
     # end-to-end finetune (SURVEY.md §3.3): weight of the waveform-domain
     # mixture-reconstruction term added to the separator loss (learned fronts)

@@ -279,6 +279,21 @@ def stage_enh_best():
     run_stage("enh_on_tasnet", r, corpus=corpus)
 
 
+def stage_enh_sisdr():
+    """Waveform-objective refinement over the best TasNet run:
+    `enh_sisdr <base_run_dir> [train_corpus]`."""
+    import dataclasses as dc
+
+    from amss_tpu.configs.recipes import enh_dpcl
+
+    i = sys.argv.index("enh_sisdr")
+    base = sys.argv[i + 1]
+    corpus = sys.argv[i + 2] if len(sys.argv) > i + 2 and sys.argv[i + 2] not in STAGES else V2BIG
+    r = sized(enh_dpcl(base_run=base), 6000)
+    r = dc.replace(r, model=dc.replace(r.model, loss_variant="sisdr"))
+    run_stage("enh_sisdr_on_tasnet", r, corpus=corpus)
+
+
 STAGES = {
     "tasnet_base": stage_tasnet_base,
     "tasnet_reg": stage_tasnet_reg,
@@ -290,6 +305,7 @@ STAGES = {
     "psa_ab": stage_psa_ab,
     "c2_levers": stage_c2_levers,
     "enh_best": stage_enh_best,
+    "enh_sisdr": stage_enh_sisdr,
     "c1_ctrl": stage_c1_ctrl,
 }
 
