@@ -294,6 +294,26 @@ def stage_enh_sisdr():
     run_stage("enh_sisdr_on_tasnet", r, corpus=corpus)
 
 
+def stage_eval_run():
+    """Evaluate an existing run dir (recover evals lost to tunnel hiccups):
+    `eval_run <run_dir> <stage_name>` — evals bigtest + v2test."""
+    import json as _json
+
+    from amss_tpu.data.store import SpeakerStore
+    from amss_tpu.train.engine import Trainer
+    from amss_tpu.utils.config import recipe_from_dict
+
+    i = sys.argv.index("eval_run")
+    rd, name = sys.argv[i + 1], sys.argv[i + 2]
+    rec = recipe_from_dict(_json.load(open(os.path.join(rd, "config.json"))))
+    tr = Trainer(rec, SpeakerStore(V2BIG), run_dir=rd)
+    state = tr.restore(best=True)
+    for tag, ecorp in (("bigtest", V2BIG), ("v2test", V2)):
+        out = blind_eval(tr.model, state["params"], ecorp)
+        out.update(stage=f"{name}_{tag}", steps=rec.train.steps, run_dir=rd)
+        log_result(out)
+
+
 STAGES = {
     "tasnet_base": stage_tasnet_base,
     "tasnet_reg": stage_tasnet_reg,
@@ -306,6 +326,7 @@ STAGES = {
     "c2_levers": stage_c2_levers,
     "enh_best": stage_enh_best,
     "enh_sisdr": stage_enh_sisdr,
+    "eval_run": stage_eval_run,
     "c1_ctrl": stage_c1_ctrl,
 }
 
