@@ -96,7 +96,7 @@ def c6_tasnet(**over) -> RecipeConfig:
 
     Default trunk is the Conv-TasNet-style TCN (X=8 dilation ladder, R=3),
     the best-measured blind config (PARITY.md round-2 ladder: +9.30 dB
-    SI-SDRi / +10.15 SDRi v2test, beating dual-path +8.56 at equal steps)
+    SI-SDRi / +10.23 SDRi v2test, beating dual-path +8.56 at equal steps)
     and the fastest (feed-forward, MXU-dominated).  `--trunk dprnn
     --blocks 6` restores the dual-path variant."""
     return RecipeConfig(

@@ -64,9 +64,8 @@ class RealtimeSeparator:
             raise ValueError("filter_len must be a multiple of stride")
         if chunk_samples % f.stride != 0:
             raise ValueError("chunk_samples must be a multiple of stride")
-        if s.dropout:
-            pass  # eval path: dropout is identity without an rng
-
+        # (sep.dropout needs no check: the eval path passes no rng, and
+        # dropout without an rng is identity.)
         self.model, self.params = model, params
         self.c = chunk_samples
         self.stride = f.stride
@@ -98,6 +97,9 @@ class RealtimeSeparator:
         lead, tw, hop, ld, ls = self.lead, self.tw, self.hop, self.ld, self.ls
         stride, c_samp, n_spk = self.stride, self.c, self.n_spk
         feat_dim = cfg.front.feature_dim
+        # honor the model's compute dtype so streamed == offline holds for
+        # bf16-configured models too
+        compute_dtype = model._compute_dtype()
 
         def step(params, window, mask, codes_mask, dec_mask, carry):
             # window [1, w_ext]; mask [1, tw] 1=real frame (global index >= 0);
@@ -123,11 +125,11 @@ class RealtimeSeparator:
             )
             h = tcn_stack(
                 params["separator"]["tcn"], normed, mask=mask,
-                kernel=cfg.sep.kernel, blocks_per_repeat=cfg.sep.blocks,
-                causal=True,
+                blocks_per_repeat=cfg.sep.blocks,
+                compute_dtype=compute_dtype, causal=True,
             )
             m = jax.nn.sigmoid(
-                dense(params["separator"]["proj_mask"], h)
+                dense(params["separator"]["proj_mask"], h, compute_dtype)
             ).reshape(1, tw, feat_dim, n_spk)
             # decode only the frames whose emitted samples are determined
             a = lead + tw - ld

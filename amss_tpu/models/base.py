@@ -101,7 +101,6 @@ class SeparatorBase:
                 sep_params["tcn"],
                 h,
                 mask=frame_mask,
-                kernel=self.cfg.sep.kernel,
                 blocks_per_repeat=self.cfg.sep.blocks,
                 compute_dtype=self._compute_dtype(),
                 remat=self.cfg.sep.remat,

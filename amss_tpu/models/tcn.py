@@ -50,7 +50,7 @@ def _init_block(key, bottleneck: int, hidden: int, kernel: int) -> dict:
         "pw_in": _init_dense(k1, bottleneck, hidden),
         "a1": _init_prelu(hidden),
         "ln1": _init_layer_norm(hidden),
-        # depthwise kernel [P, H]; identity-ish init: center tap dominant
+        # depthwise kernel [P, H], i.i.d. N(0, 1/P) taps (unit output variance)
         "dw": jax.random.normal(k2, (kernel, hidden), jnp.float32)
         * (1.0 / (kernel**0.5)),
         "a2": _init_prelu(hidden),
@@ -112,7 +112,6 @@ def tcn_stack(
     params: dict,
     x: jnp.ndarray,  # [B, T', F]
     mask: jnp.ndarray | None = None,  # [B, T'] 1=valid
-    kernel: int = 3,
     blocks_per_repeat: int | None = None,
     compute_dtype=jnp.float32,
     remat: bool = False,

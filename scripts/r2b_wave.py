@@ -113,27 +113,32 @@ def sized(recipe, steps, batch=16, lr=None, schedule=None, device_data=False,
 
 
 def stage_tasnet_base():
-    """c6 TasNet default (h128, 6 blocks) on the big corpus, 12k steps."""
+    """c6 TasNet dual-path (h128, 6 blocks) on the big corpus, 12k steps.
+    (Trunk pinned explicitly: c6's DEFAULT became tcn after these rows were
+    measured — re-runs must keep producing the DPRNN numbers they name.)"""
     from amss_tpu.configs.recipes import c6_tasnet
 
-    run_stage("tasnet_h128b6_12k", sized(c6_tasnet(), 12000))
+    run_stage("tasnet_h128b6_12k",
+              sized(c6_tasnet(), 12000, schedule="const",
+                    trunk="dprnn", blocks=6))
 
 
 def stage_tasnet_reg():
-    """c6 with dropout 0.1 + cosine schedule — regularized variant."""
+    """c6 dual-path with dropout 0.1 + cosine schedule — regularized."""
     from amss_tpu.configs.recipes import c6_tasnet
 
     run_stage("tasnet_h128b6_d01_cos_12k",
-              sized(c6_tasnet(), 12000, schedule="cosine", dropout=0.1))
+              sized(c6_tasnet(), 12000, schedule="cosine",
+                    trunk="dprnn", blocks=6, dropout=0.1))
 
 
 def stage_tasnet_big():
-    """c6 scaled: h192, 8 blocks, dropout, cosine, 24k steps."""
+    """c6 dual-path scaled: h192, 8 blocks, dropout, cosine, 24k steps."""
     from amss_tpu.configs.recipes import c6_tasnet
 
     run_stage("tasnet_h192b8_d01_cos_24k",
               sized(c6_tasnet(), 24000, schedule="cosine",
-                    hidden=192, blocks=8, dropout=0.1))
+                    trunk="dprnn", hidden=192, blocks=8, dropout=0.1))
 
 
 def stage_tasnet_tcn():
@@ -333,7 +338,12 @@ STAGES = {
 
 if __name__ == "__main__":
     ensure_corpora()
+    matched = 0
     for arg in sys.argv[1:]:
         if arg in STAGES:  # non-stage args are consumed by stages (enh_best)
             STAGES[arg]()
+            matched += 1
+    if sys.argv[1:] and not matched:
+        raise SystemExit(f"no stage matched in {sys.argv[1:]!r} "
+                         f"(known: {sorted(STAGES)})")
     print("R2B WAVE DONE", flush=True)

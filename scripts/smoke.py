@@ -70,12 +70,13 @@ def main():
             model=dataclasses.replace(c4_chimera_3mix().model, loss_variant="psa"),
         ))),
         ("c6_tasnet", tiny(c6_tasnet())),
-        ("c6_tasnet_tcn", tiny(dataclasses.replace(
+        ("c6_tasnet_dprnn", tiny(dataclasses.replace(
             c6_tasnet(),
             model=dataclasses.replace(
                 c6_tasnet().model,
                 sep=dataclasses.replace(
-                    c6_tasnet().model.sep, trunk="tcn", blocks=3, repeats=2
+                    c6_tasnet().model.sep, trunk="dprnn", blocks=6,
+                    chunk_frames=8
                 ),
             ),
         ))),

@@ -14,7 +14,7 @@ from amss_tpu.models.tcn import init_tcn, tcn_stack
 from amss_tpu.train.engine import make_model
 
 
-def _tiny_c7(chunk_samples=1024):
+def _tiny_c7():
     r = c7_realtime()
     sep = dataclasses.replace(r.model.sep, hidden=16, blocks=3, repeats=2)
     return dataclasses.replace(r.model, sep=sep)
