@@ -55,8 +55,10 @@ def _decode_ola_kernel(codes_hbm, w_ref, out_ref, scratch, sem, *, r, cb, hop):
         shifted = pltpu.roll(frames, (nrows - (r - 1 - i)) % nrows, axis=0)
         seg = pltpu.roll(shifted, (win - i * hop) % win, axis=1)
         acc = acc + seg[:cb, :hop]
-    pad = jnp.zeros((cb, 128 - hop), jnp.float32)
-    out_ref[0, :, :] = jnp.concatenate([acc, pad], axis=-1)
+    if hop < 128:  # static: pad hop lanes up to the 128-lane output block
+        pad = jnp.zeros((cb, 128 - hop), jnp.float32)
+        acc = jnp.concatenate([acc, pad], axis=-1)
+    out_ref[0, :, :] = acc
 
 
 @functools.partial(jax.jit, static_argnames=("hop", "interpret"))

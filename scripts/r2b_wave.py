@@ -267,9 +267,16 @@ def stage_c2_levers():
                          stride=64, pool=2)
     nopool = FrontConfig(kind="adapt", n_filters=256, filter_len=256,
                          stride=128, pool=1)
-    run_c2("c2_deeppre25k", pooled, pre_steps=25000)
-    run_c2("c2_nopool_s128", nopool, pre_steps=10000)
-    run_c2("c2_chnorm", pooled, pre_steps=10000, feature_norm="channel")
+    levers = {
+        "deeppre": lambda: run_c2("c2_deeppre25k", pooled, pre_steps=25000),
+        "nopool": lambda: run_c2("c2_nopool_s128", nopool, pre_steps=10000),
+        "chnorm": lambda: run_c2("c2_chnorm", pooled, pre_steps=10000,
+                                 feature_norm="channel"),
+    }
+    # optional sub-selection: `c2_levers nopool chnorm`
+    chosen = [a for a in sys.argv[1:] if a in levers] or list(levers)
+    for name in chosen:
+        levers[name]()
 
 
 def stage_enh_best():

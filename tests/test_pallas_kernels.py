@@ -121,3 +121,19 @@ def test_decode_ola_short_filters(rng):
         overlap_add(jnp.asarray(codes) @ jnp.asarray(basis), 16, length=2048)
     )
     np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_decode_ola_hop128_no_lane_pad():
+    """Regression: hop == 128 means ZERO pad lanes in the output block — the
+    kernel must not build a (cb, 0) vector (Mosaic rejects empty vector
+    types; this crashed the no-pool stride-128 adaptive front)."""
+    rng = np.random.default_rng(0)
+    codes = rng.standard_normal((2, 40, 96)).astype(np.float32)
+    basis = rng.standard_normal((96, 256)).astype(np.float32)
+    got = np.asarray(
+        pallas_decode_ola(jnp.asarray(codes), jnp.asarray(basis), hop=128,
+                          interpret=True)
+    )
+    frames = codes @ basis
+    want = np.asarray(overlap_add(jnp.asarray(frames), 128, length=got.shape[-1]))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
