@@ -114,11 +114,14 @@ class Trainer:
         self.mesh = mesh if mesh is not None else make_mesh(recipe.train.data_axis)
         t = recipe.train
         if t.lr_schedule == "cosine":
+            warmup = min(t.warmup_steps, max(t.steps // 10, 1))
             lr = optax.warmup_cosine_decay_schedule(
                 init_value=0.0,
                 peak_value=t.lr,
-                warmup_steps=min(t.warmup_steps, max(t.steps // 10, 1)),
-                decay_steps=t.steps,
+                warmup_steps=warmup,
+                # optax needs a positive cosine phase; tiny runs (dryrun's
+                # steps=1) would otherwise hit decay_steps - warmup == 0
+                decay_steps=max(t.steps, warmup + 1),
                 end_value=t.lr / 20.0,
             )
         else:
