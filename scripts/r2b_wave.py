@@ -306,6 +306,39 @@ def stage_enh_sisdr():
     run_stage("enh_sisdr_on_tasnet", r, corpus=corpus)
 
 
+def stage_c7_quality():
+    """Train the causal low-latency flagship (c7) on the 500-spk corpus and
+    measure BOTH offline quality and true streamed quality + RTF."""
+    import jax
+
+    from amss_tpu.configs.recipes import c7_realtime
+    from amss_tpu.data.mixer import Mixer
+    from amss_tpu.data.store import SpeakerStore
+    from amss_tpu.infer.evaluate import evaluate_separation
+    from amss_tpu.infer.realtime import RealtimeSeparator
+
+    v2max = "/tmp/amss_corpus_v2max"
+    r = sized(c7_realtime(), 16000, schedule="cosine")
+    tr, state, secs = train(r, v2max)
+    out = blind_eval(tr.model, state["params"], V2)
+    out.update(stage="c7_causal_16k_v2test_offline", steps=16000,
+               train_seconds=secs, run_dir=tr.dir)
+    log_result(out)
+    # streamed path: push 512 ms chunks through RealtimeSeparator
+    mixer = Mixer(SpeakerStore(V2), nb_speakers=2, chunk_samples=16384, seed=0)
+    mixes, refs, est = [], [], []
+    rt = RealtimeSeparator(tr.model, state["params"], chunk_samples=4096)
+    for i in range(32):
+        hb = mixer.batch("test", i, 1)
+        refs.append(hb.sources[0])
+        mixes.append(hb.sources[0].sum(0))
+        est.append(rt.separate_stream(mixes[-1].astype(np.float32)))
+    out = evaluate_separation(np.stack(est), np.stack(refs), np.stack(mixes))
+    out.update(stage="c7_causal_16k_v2test_streamed", rtf=rt.rtf,
+               chunk_ms=4096 / 8.0, run_dir=tr.dir)
+    log_result(out)
+
+
 def stage_eval_run():
     """Evaluate an existing run dir (recover evals lost to tunnel hiccups):
     `eval_run <run_dir> <stage_name>` — evals bigtest + v2test."""
@@ -339,6 +372,7 @@ STAGES = {
     "enh_best": stage_enh_best,
     "enh_sisdr": stage_enh_sisdr,
     "eval_run": stage_eval_run,
+    "c7_quality": stage_c7_quality,
     "c1_ctrl": stage_c1_ctrl,
 }
 
