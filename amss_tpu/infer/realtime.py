@@ -88,6 +88,8 @@ class RealtimeSeparator:
         self._carry = (jnp.zeros(()), jnp.zeros(()), jnp.zeros(()))
         self._pushes = 0
         self._step = jax.jit(self._make_step())
+        self._compiled = False  # first push ever pays the XLA compile
+        self._timed_pushes = 0  # post-compile pushes, across ALL streams
         self.compile_seconds = 0.0
         self.compute_seconds = 0.0
 
@@ -154,6 +156,14 @@ class RealtimeSeparator:
         return step
 
     # ----------------------------------------------------------------- host
+    def reset(self) -> None:
+        """Start a new stream: clear the sample buffer, carried norm stats and
+        push counter (the jit cache and RTF meter persist).  Required between
+        utterances — carried state belongs to ONE stream."""
+        self._buf = np.zeros(self.w_ext, np.float32)
+        self._carry = (jnp.zeros(()), jnp.zeros(()), jnp.zeros(()))
+        self._pushes = 0
+
     def push(self, chunk: np.ndarray, end_frame: int | None = None) -> np.ndarray:
         """chunk [c] mixture samples -> [S, c] separated samples (the stream
         lags the input by filter_len - stride samples).
@@ -186,16 +196,20 @@ class RealtimeSeparator:
         )
         out = np.asarray(est)  # host fetch = sync point
         dt = time.perf_counter() - t0
-        if self._pushes == 0:
+        if not self._compiled:
             self.compile_seconds += dt
+            self._compiled = True
         else:
             self.compute_seconds += dt
+            self._timed_pushes += 1
         self._pushes += 1
         return out
 
     def separate_stream(self, wave: np.ndarray) -> np.ndarray:
         """Whole-utterance convenience: stream `wave` through push() and
-        return [S, len(wave)] — exactly model.separate's output."""
+        return [S, len(wave)] — exactly model.separate's output.  Resets any
+        previous stream state first (safe to call per utterance)."""
+        self.reset()
         t = len(wave)
         lag = (self.ls - 1) * self.stride
         n_chunks = -(-(t + lag) // self.c)
@@ -209,7 +223,8 @@ class RealtimeSeparator:
 
     @property
     def rtf(self) -> float:
-        """Compute-only real-time factor over everything pushed so far
-        (first-push compile excluded; serving reuses the cache)."""
-        audio_s = max(self._pushes - 1, 0) * self.c / self.sample_rate
+        """Compute-only real-time factor over everything pushed so far,
+        across all streams (first-push compile excluded; serving reuses the
+        cache)."""
+        audio_s = self._timed_pushes * self.c / self.sample_rate
         return self.compute_seconds / audio_s if audio_s else float("inf")

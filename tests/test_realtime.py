@@ -83,3 +83,21 @@ def test_realtime_rejects_noncausal_model():
         raise AssertionError("should have rejected non-causal model")
     except ValueError:
         pass
+
+
+def test_separator_reusable_across_utterances():
+    """Regression: one RealtimeSeparator serving MANY utterances must reset
+    per-stream state (sample buffer, carried norm stats) between them —
+    stale carry from utterance 1 catastrophically corrupted utterance 2+."""
+    cfg = _tiny_c7()
+    model = make_model(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    rt = RealtimeSeparator(model, params, chunk_samples=1024)
+    for seed in (3, 4):
+        wave = np.asarray(
+            jax.random.normal(jax.random.PRNGKey(seed), (3000,)) * 0.3,
+            np.float32,
+        )
+        offline = np.asarray(model.separate(params, jnp.asarray(wave)[None])[0])
+        streamed = rt.separate_stream(wave)
+        np.testing.assert_allclose(streamed, offline, rtol=1e-4, atol=1e-5)
