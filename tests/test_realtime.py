@@ -73,6 +73,63 @@ def test_realtime_separator_exact_vs_offline():
     np.testing.assert_allclose(streamed, offline, rtol=1e-4, atol=1e-5)
 
 
+def test_tcn_streaming_matches_offline_causal():
+    """tcn_stack_streaming with carried per-block conv state reproduces
+    tcn_stack(causal=True) exactly, block-by-block, across push boundaries."""
+    from amss_tpu.models.tcn import dw_state_shapes, tcn_stack_streaming
+
+    p = init_tcn(jax.random.PRNGKey(0), 8, 12, 16, 3, repeats=2)
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 48, 8))
+    full = np.asarray(tcn_stack(p, x, blocks_per_repeat=3, causal=True))
+    states = [jnp.zeros((2, t, c)) for t, c in dw_state_shapes(16, 3, 2, 3)]
+    outs = []
+    for lo in (0, 16, 32):
+        o, states = tcn_stack_streaming(p, x[:, lo : lo + 16], states,
+                                        blocks_per_repeat=3)
+        outs.append(np.asarray(o))
+    np.testing.assert_array_equal(np.concatenate(outs, axis=1), full)
+
+
+def test_welford_norm_matches_sums_norm():
+    """The cancellation-free long-stream carry agrees with the exact-parity
+    sums carry to fp noise (advisor r2: unbounded-stream precision)."""
+    from amss_tpu.models.front import cumulative_norm_welford
+
+    x = jax.random.normal(jax.random.PRNGKey(5), (1, 40, 6)) + 3.0
+    ref, _ = cumulative_norm(x)
+    a, st = cumulative_norm_welford(x[:, :15])
+    b, _ = cumulative_norm_welford(x[:, 15:], carry=st)
+    got = np.concatenate([np.asarray(a), np.asarray(b)], axis=1)
+    np.testing.assert_allclose(got, np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
+def test_long_stream_mode_matches_offline():
+    cfg = _tiny_c7()
+    model = make_model(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    wave = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(7), (4000,)) * 0.3, np.float32
+    )
+    offline = np.asarray(model.separate(params, jnp.asarray(wave)[None])[0])
+    rt = RealtimeSeparator(model, params, chunk_samples=1024, long_stream=True)
+    np.testing.assert_allclose(rt.separate_stream(wave), offline,
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_push_rejects_wrong_chunk_shape():
+    """ValueError (not a stripped assert) on a wrong-size chunk — a silent
+    mis-framing corrupted the stream otherwise (advisor r2)."""
+    cfg = _tiny_c7()
+    model = make_model(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    rt = RealtimeSeparator(model, params, chunk_samples=1024)
+    try:
+        rt.push(np.zeros(1000, np.float32))
+        raise AssertionError("should have rejected wrong-size chunk")
+    except ValueError:
+        pass
+
+
 def test_realtime_rejects_noncausal_model():
     from amss_tpu.configs.recipes import c6_tasnet
 
