@@ -100,7 +100,20 @@ def restore_checkpoint(directory: str, target: dict, best: bool = False) -> tupl
     if not manifest and os.path.exists(path + ".json"):
         with open(path + ".json") as f:
             manifest = json.load(f)
-    state = fser.from_state_dict(target, state_dict)
+    try:
+        state = fser.from_state_dict(target, state_dict)
+    except (ValueError, KeyError) as e:
+        # Most common cause: the recipe's default architecture moved under a
+        # checkpoint (e.g. c6's default trunk switched dprnn -> tcn in round
+        # 2), so the param tree no longer matches.  Surface the fix instead
+        # of flax's opaque tree-structure error (advisor r2).
+        raise ValueError(
+            f"checkpoint {path} does not match the model built from the "
+            "current recipe/overrides — if this run predates a recipe "
+            "default change, pass the architecture it was trained with "
+            "(e.g. a pre-round-2 c6 run needs --trunk dprnn --blocks 6); "
+            f"original error: {e}"
+        ) from e
     return state, manifest
 
 

@@ -47,8 +47,9 @@ def _add_train_overrides(p: argparse.ArgumentParser):
     p.add_argument("--chunk-frames", type=int, help="dprnn intra-chunk length K")
     p.add_argument("--dropout", type=float)
     p.add_argument("--feature-norm", choices=["global", "channel", "cumulative"])
-    p.add_argument("--causal", action="store_const", const=True, default=None,
-                   help="causal TCN trunk (low-latency streaming, recipe c7)")
+    p.add_argument("--causal", action=argparse.BooleanOptionalAction, default=None,
+                   help="causal TCN trunk (low-latency streaming, recipe c7); "
+                        "--no-causal overrides a recipe's causal default")
     p.add_argument("--loss-variant", choices=["msa", "psa", "sisdr"],
                    help="mask-inference target (psa = phase-sensitive)")
     p.add_argument("--weight-kind", choices=["vad", "magnitude", "magvad"])
@@ -122,6 +123,14 @@ def _build_recipe(args, store):
                 sep=dataclasses.replace(recipe.model.sep, **sover),
                 **mover,
             ),
+        )
+    if recipe.model.loss_variant == "sisdr" and recipe.model.kind != "enhance":
+        # only EnhancerModel implements the sisdr objective; on mask models
+        # the value would silently fall through to the msa branch and the
+        # user would believe the wrong objective trained (advisor r2)
+        raise SystemExit(
+            "--loss-variant sisdr is the enhancement-stage waveform objective "
+            f"(recipe enh); model kind {recipe.model.kind!r} trains msa/psa only"
         )
     return recipe
 

@@ -143,7 +143,12 @@ def c7_realtime(**over) -> RecipeConfig:
 
 def enh_dpcl(base_run: str | None = None, **over) -> RecipeConfig:
     """Enhancement/refinement stage (SURVEY.md §2.5 recipe 4, Isik et al.
-    second-stage): small BLSTM refines a frozen base separator's estimates."""
+    second-stage): small BLSTM refines a frozen base separator's estimates.
+
+    Refine CLUSTERING bases (dpcl/l41/chimera) only: measured round 2, the
+    stage regresses waveform-trained TasNet bases in both objectives (base
+    +9.87 dB -> +8.70 msa / +9.23 sisdr v2test) — EnhancerModel warns when
+    pointed at one (quality_results.jsonl enh_on_tasnet rows)."""
     return RecipeConfig(
         name="enh_dpcl",
         model=ModelConfig(

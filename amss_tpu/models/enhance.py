@@ -50,6 +50,20 @@ class EnhancerModel:
             )
         self.cfg = _dc.replace(cfg, front=base_model.cfg.front)
         cfg = self.cfg
+        if base_model.cfg.kind == "tasnet":
+            # Measured round 2 (quality_results.jsonl enh_on_tasnet /
+            # enh_sisdr_on_tasnet): stacking enhancement on a waveform-trained
+            # TasNet base REGRESSED it in both objectives (9.87 -> 8.70 msa,
+            # -> 9.23 sisdr v2test) — the residual-mask stage helps clustering
+            # bases (dpcl/l41/chimera), whose masks it was designed to refine.
+            import warnings
+
+            warnings.warn(
+                "enhancement over a waveform-trained (tasnet) base measurably "
+                "REGRESSES it (round-2: base +9.87 dB -> enh +8.70/+9.23); "
+                "refine clustering bases (dpcl/l41/chimera) only",
+                stacklevel=2,
+            )
         self.base = base_model
         self.base_params = jax.tree_util.tree_map(jax.lax.stop_gradient, base_params)
         self.front = base_model.front  # same analysis front as the base

@@ -198,3 +198,33 @@ def test_enhancer_sisdr_variant_over_tasnet(tmp_path):
     for _ in range(8):
         p = jax.tree_util.tree_map(lambda a, b: a - 0.2 * b, p, jax.grad(loss_fn)(p))
     assert float(loss_fn(p)) < float(l0)
+
+
+def test_enhancer_warns_on_waveform_trained_base():
+    """Guardrail (VERDICT r2 item 8): enhancement over a waveform-trained
+    TasNet base measurably regressed it in round 2 — EnhancerModel must warn
+    so a user doesn't silently degrade the flagship."""
+    import dataclasses
+
+    import jax
+    import pytest
+
+    from amss_tpu.configs.recipes import c6_tasnet, enh_dpcl
+    from amss_tpu.models.enhance import EnhancerModel
+    from amss_tpu.models.tasnet import TasNetModel
+
+    r6 = c6_tasnet()
+    r6 = dataclasses.replace(
+        r6,
+        model=dataclasses.replace(
+            r6.model,
+            front=dataclasses.replace(r6.model.front, n_filters=32,
+                                      filter_len=16, stride=8),
+            sep=dataclasses.replace(r6.model.sep, hidden=16, blocks=1,
+                                    repeats=1),
+        ),
+    )
+    base = TasNetModel(r6.model)
+    base_params = base.init(jax.random.PRNGKey(0))
+    with pytest.warns(UserWarning, match="waveform-trained"):
+        EnhancerModel(enh_dpcl().model, base, base_params)
