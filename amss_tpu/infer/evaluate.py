@@ -18,16 +18,38 @@ import numpy as np
 from amss_tpu.ops.metrics import pit_si_sdr, permute_estimates, si_sdr
 
 
+def bootstrap_ci(
+    vals: np.ndarray, n_boot: int = 10000, seed: int = 0, level: float = 95.0
+) -> dict:
+    """Bootstrap CI of the mean over per-utterance scores: resample the
+    utterance set with replacement n_boot times.  Returns mean / lo / hi /
+    std-error — quality claims must carry these (an n=32 mean alone cannot
+    resolve sub-dB differences)."""
+    v = np.asarray(vals, np.float64)
+    rng = np.random.default_rng(seed)
+    means = rng.choice(v, size=(n_boot, len(v)), replace=True).mean(axis=1)
+    lo, hi = np.percentile(means, [(100 - level) / 2, 100 - (100 - level) / 2])
+    return {
+        "mean": float(v.mean()),
+        "ci_lo": float(lo),
+        "ci_hi": float(hi),
+        "stderr": float(v.std(ddof=1) / np.sqrt(len(v))),
+        "n": int(len(v)),
+    }
+
+
 def evaluate_separation(
     est: np.ndarray,  # [B, S, T]
     ref: np.ndarray,  # [B, S, T]
     mix: np.ndarray,  # [B, T]
     bss: bool = True,
+    per_utt: bool = False,
 ) -> dict:
     """Aggregate separation quality: mean SI-SDR/SI-SDRi (device) plus the
     first-party BSS-Eval SDR/SIR/SAR columns (ops/bss_eval.py — the
     reference's mir_eval headline metric, SURVEY.md §2.6) and the optional
-    mir_eval cross-check when that package exists."""
+    mir_eval cross-check when that package exists.  ``per_utt=True`` adds
+    per-utterance SI-SDRi (and SDRi) lists plus bootstrap 95% CIs."""
     est_j, ref_j, mix_j = jnp.asarray(est), jnp.asarray(ref), jnp.asarray(mix)
     sep_scores, perm = pit_si_sdr(est_j, ref_j)
     mix_rep = jnp.broadcast_to(mix_j[..., None, :], ref_j.shape)
@@ -38,6 +60,10 @@ def evaluate_separation(
         "si_sdri": float(jnp.mean(sep_scores - base)),
         "n": int(est.shape[0]),
     }
+    if per_utt:
+        si_sdri_utt = np.asarray(sep_scores - base, np.float64)
+        out["si_sdri_ci"] = bootstrap_ci(si_sdri_utt)
+        out["si_sdri_per_utt"] = [round(float(v), 3) for v in si_sdri_utt]
     if bss:
         from amss_tpu.ops.bss_eval import bss_eval_batch
 
@@ -46,6 +72,14 @@ def evaluate_separation(
         mix_s = np.broadcast_to(np.asarray(mix)[:, None, :], ref.shape)
         out["sdr_mix"] = bss_eval_batch(np.asarray(ref), mix_s)["sdr"]
         out["sdri"] = out["sdr"] - out["sdr_mix"]
+        if per_utt:
+            per_sdr = bss_eval_batch(np.asarray(ref), np.asarray(est), per_utt=True)
+            per_mix = bss_eval_batch(np.asarray(ref), mix_s, per_utt=True)
+            sdri_utt = np.asarray(per_sdr["sdr_per_utt"]) - np.asarray(
+                per_mix["sdr_per_utt"]
+            )
+            out["sdri_ci"] = bootstrap_ci(sdri_utt)
+            out["sdri_per_utt"] = [round(float(v), 3) for v in sdri_utt]
     try:  # host cross-check harness (SURVEY.md §2.6); not present in image
         import mir_eval.separation as mes
 

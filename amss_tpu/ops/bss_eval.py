@@ -147,16 +147,22 @@ def bss_eval_sources(
     return sdr[idx], sir[idx], sar[idx], perm
 
 
-def bss_eval_batch(ref: np.ndarray, est: np.ndarray, flen: int = _FLEN) -> dict:
-    """Mean SDR/SIR/SAR over a batch [B, S, T] (aggregation used by eval)."""
+def bss_eval_batch(
+    ref: np.ndarray, est: np.ndarray, flen: int = _FLEN, per_utt: bool = False
+) -> dict:
+    """Mean SDR/SIR/SAR over a batch [B, S, T] (aggregation used by eval).
+    ``per_utt=True`` adds the per-utterance SDR list (bootstrap-CI input)."""
     sdrs, sirs, sars = [], [], []
     for b in range(ref.shape[0]):
         sdr, sir, sar, _ = bss_eval_sources(ref[b], est[b], flen=flen)
         sdrs.append(sdr.mean())
         sirs.append(sir.mean())
         sars.append(sar.mean())
-    return {
+    out = {
         "sdr": float(np.mean(sdrs)),
         "sir": float(np.mean(sirs)),
         "sar": float(np.mean(sars)),
     }
+    if per_utt:
+        out["sdr_per_utt"] = [float(s) for s in sdrs]
+    return out

@@ -1,0 +1,259 @@
+"""Round-3 experiment driver (VERDICT.md r2 items 3, 4, 5, 6).
+
+Stages:
+  c6_3spk   — 3-speaker TCN flagship (item 4): c6 at nb_speakers=3 on the
+              500-spk corpus, evaluated with bootstrap CIs against the 3-mix
+              STFT-IBM oracle ceiling and against c4's +2.88.
+  c4_tcn    — Chimera 3-mix with the round-2 levers (item 6): TCN trunk +
+              magnitude bin weights on v2big.
+  boot      — n>=200 bootstrap-CI re-evaluation of an existing run dir
+              (item 3): `boot <run_dir> <name> [corpus] [n]`.
+  oracle    — 3-mix / 2-mix STFT-IBM oracle ceiling for a corpus:
+              `oracle <corpus> <nb_speakers> <name>`.
+  bf16_ab   — bf16 vs f32 on the matmul-dominated TCN (item 5): train-step
+              wall time and serving RTF, A/B at identical shapes.
+
+Results append to quality_results.jsonl (committed — survives restarts).
+"""
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+RESULTS = os.path.join(REPO, "quality_results.jsonl")
+
+V2 = "/tmp/amss_corpus_v2"
+V2BIG = "/tmp/amss_corpus_v2big"
+V2MAX = "/tmp/amss_corpus_v2max"
+
+
+def log_result(rec):
+    rec["time"] = time.time()
+    print(json.dumps(rec), flush=True)
+    with open(RESULTS, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+
+
+def ensure_corpora():
+    from amss_tpu.data.synthetic import make_synthetic_corpus
+
+    jobs = [
+        (V2, dict(n_speakers=30, seconds_per_speaker=40.0, version=2, seed=0)),
+        (V2BIG, dict(n_speakers=100, seconds_per_speaker=120.0, version=2, seed=1)),
+        (V2MAX, dict(n_speakers=500, seconds_per_speaker=40.0, version=2, seed=3)),
+    ]
+    for root, kw in jobs:
+        if not os.path.exists(os.path.join(root, "manifest.json")):
+            print("generating", root, kw, flush=True)
+            make_synthetic_corpus(root, **kw)
+
+
+def test_mixtures(corpus: str, nb_speakers: int, n: int, chunk: int = 16384):
+    """The deterministic test-mixture convention shared by every quality row
+    (Mixer seed 0, test split, steps 0..n-1, batch 1)."""
+    from amss_tpu.data.mixer import Mixer
+    from amss_tpu.data.store import SpeakerStore
+
+    mixer = Mixer(SpeakerStore(corpus), nb_speakers=nb_speakers,
+                  chunk_samples=chunk, seed=0)
+    mixes, refs = [], []
+    for i in range(n):
+        hb = mixer.batch("test", i, 1)
+        refs.append(hb.sources[0])
+        mixes.append(hb.sources[0].sum(0))
+    return mixes, refs
+
+
+def blind_eval(model, params, corpus: str, n: int = 64, chunk: int = 16384):
+    from amss_tpu.infer.evaluate import evaluate_separation
+    from amss_tpu.infer.streaming import StreamingSeparator
+
+    mixes, refs = test_mixtures(corpus, model.cfg.nb_speakers, n, chunk)
+    sep = StreamingSeparator(model, params)
+    est = sep.separate_all(mixes)
+    out = evaluate_separation(
+        np.stack(est), np.stack(refs), np.stack(mixes), per_utt=True
+    )
+    out["rtf"] = sep.meter.rtf
+    return out
+
+
+def oracle_eval(corpus: str, nb_speakers: int, n: int = 64, chunk: int = 16384,
+                win: int = 256, hop: int = 64):
+    """STFT ideal-binary-mask oracle ceiling: the best any TF-mask clustering
+    model (dpcl/chimera) can do on these mixtures.  Calibrates whether a weak
+    3-mix result is the model or the corpus (VERDICT r2 item 6)."""
+    import jax.numpy as jnp
+
+    from amss_tpu.infer.evaluate import evaluate_separation
+    from amss_tpu.ops.stft import istft_ri, stft_ri
+
+    mixes, refs = test_mixtures(corpus, nb_speakers, n, chunk)
+    ests = []
+    for mix, src in zip(mixes, refs):
+        re_s, im_s = stft_ri(jnp.asarray(src), win, hop)  # [S, T', F]
+        mag = jnp.sqrt(re_s**2 + im_s**2)
+        ibm = (mag >= jnp.max(mag, axis=0, keepdims=True)).astype(jnp.float32)
+        re_m, im_m = stft_ri(jnp.asarray(mix), win, hop)
+        est = istft_ri(ibm * re_m[None], ibm * im_m[None], win, hop,
+                       length=src.shape[-1])
+        ests.append(np.asarray(est))
+    return evaluate_separation(
+        np.stack(ests), np.stack(refs), np.stack(mixes), per_utt=True
+    )
+
+
+def train(recipe, corpus: str, workdir: str = "runs_r3"):
+    from amss_tpu.data.store import SpeakerStore
+    from amss_tpu.train.engine import Trainer
+
+    tr = Trainer(recipe, SpeakerStore(corpus), workdir=workdir)
+    t0 = time.time()
+    state = tr.fit()
+    return tr, state, round(time.time() - t0, 1)
+
+
+def run_stage(name, recipe, corpus, evals, n=64):
+    tr, state, secs = train(recipe, corpus)
+    for tag, ecorp in evals:
+        out = blind_eval(tr.model, state["params"], ecorp, n=n)
+        out.update(stage=f"{name}_{tag}", steps=recipe.train.steps,
+                   train_seconds=secs, run_dir=tr.dir)
+        log_result(out)
+    return tr, state
+
+
+def sized(recipe, steps, batch=16, **sep_over):
+    t = dataclasses.replace(recipe.train, steps=steps, batch_size=batch,
+                            valid_every=max(steps // 10, 1))
+    sep = dataclasses.replace(recipe.model.sep, **sep_over) if sep_over \
+        else recipe.model.sep
+    return dataclasses.replace(
+        recipe, train=t, model=dataclasses.replace(recipe.model, sep=sep)
+    )
+
+
+# ---------------------------------------------------------------- stages ---
+
+
+def stage_c6_3spk():
+    """3-speaker TCN flagship on the 500-spk corpus (VERDICT r2 item 4)."""
+    import dataclasses as dc
+
+    from amss_tpu.configs.recipes import c6_tasnet
+
+    r = sized(c6_tasnet(), 16000)
+    r = dc.replace(r, model=dc.replace(r.model, nb_speakers=3))
+    run_stage("c6_3spk_tcn_16k", r, V2MAX,
+              evals=(("maxtest3", V2MAX), ("v2test3", V2)))
+    for tag, corp in (("maxtest3", V2MAX), ("v2test3", V2)):
+        out = oracle_eval(corp, 3)
+        out.update(stage=f"oracle3_stft_ibm_{tag}")
+        log_result(out)
+
+
+def stage_c4_tcn():
+    """Chimera 3-mix with round-2 levers: TCN trunk + magnitude bin weights
+    (VERDICT r2 item 6).  Same corpus/budget class as the +2.88 c4 row."""
+    import dataclasses as dc
+
+    from amss_tpu.configs.recipes import c4_chimera_3mix
+
+    r = sized(c4_chimera_3mix(), 8000, trunk="tcn", blocks=8, repeats=3,
+              hidden=128)
+    r = dc.replace(r, model=dc.replace(r.model, weight_kind="magnitude"))
+    run_stage("c4_tcn_mag_8k", r, V2BIG, evals=(("bigtest", V2BIG),))
+    out = oracle_eval(V2BIG, 3)
+    out.update(stage="oracle3_stft_ibm_bigtest")
+    log_result(out)
+
+
+def stage_boot():
+    """`boot <run_dir> <name> [corpus] [n]` — n>=200 bootstrap-CI eval of an
+    existing trained run (VERDICT r2 item 3)."""
+    from amss_tpu.train.engine import load_model_from_run
+
+    i = sys.argv.index("boot")
+    rd, name = sys.argv[i + 1], sys.argv[i + 2]
+    corpus = sys.argv[i + 3] if len(sys.argv) > i + 3 else V2
+    n = int(sys.argv[i + 4]) if len(sys.argv) > i + 4 else 200
+    model, params = load_model_from_run(rd)
+    out = blind_eval(model, params, corpus, n=n)
+    out.update(stage=name, run_dir=rd)
+    log_result(out)
+
+
+def stage_oracle():
+    """`oracle <corpus> <nb_speakers> <name> [n]`."""
+    i = sys.argv.index("oracle")
+    corpus, s, name = sys.argv[i + 1], int(sys.argv[i + 2]), sys.argv[i + 3]
+    n = int(sys.argv[i + 4]) if len(sys.argv) > i + 4 else 200
+    out = oracle_eval(corpus, s, n=n)
+    out.update(stage=name)
+    log_result(out)
+
+
+def stage_bf16_ab():
+    """bf16 vs f32 on the TCN (VERDICT r2 item 5): the round-2 negative was
+    measured on the scan-bound BLSTM; the TCN is 1x1-conv/matmul-dominated —
+    the case bf16 exists for.  Measures train wall (200 steps, post-compile)
+    and serving RTF at identical shapes."""
+    import dataclasses as dc
+
+    import jax
+
+    from amss_tpu.configs.recipes import c6_tasnet
+    from amss_tpu.infer.streaming import BucketSpec, StreamingSeparator
+    from amss_tpu.train.engine import make_model
+
+    t = 65536  # 8 s @ 8 kHz
+    rng = np.random.default_rng(0)
+    waves = [rng.standard_normal(t).astype(np.float32) * 0.3 for _ in range(32)]
+    for dtype in ("float32", "bfloat16"):
+        r = sized(c6_tasnet(), 220, compute_dtype=dtype)
+        tr, state, secs = train(r, V2BIG)
+        # steps/sec from the tail of metrics.jsonl (excludes compile)
+        rows = [json.loads(l) for l in open(os.path.join(tr.dir, "metrics.jsonl"))]
+        walls = [r_["train/steps_per_sec"] for r_ in rows
+                 if "train/steps_per_sec" in r_]
+        model = make_model(r.model)
+        sep = StreamingSeparator(model, state["params"],
+                                 buckets=BucketSpec(lengths=(t,)))
+        est = sep.separate_all(waves, max_batch=8)
+        assert est[0].shape == (2, t)
+        log_result({
+            "stage": f"bf16_ab_tcn_{dtype}",
+            "train_seconds_total": secs,
+            "serving_rtf": round(sep.meter.rtf, 6),
+            "serving_compute_s": round(sep.meter.compute_seconds, 4),
+            "train_steps_per_sec_tail": walls[-3:] if walls else None,
+        })
+
+
+STAGES = {
+    "c6_3spk": stage_c6_3spk,
+    "c4_tcn": stage_c4_tcn,
+    "boot": stage_boot,
+    "oracle": stage_oracle,
+    "bf16_ab": stage_bf16_ab,
+}
+
+
+if __name__ == "__main__":
+    ensure_corpora()
+    matched = 0
+    for arg in sys.argv[1:]:
+        if arg in STAGES:
+            STAGES[arg]()
+            matched += 1
+    if sys.argv[1:] and not matched:
+        raise SystemExit(f"no stage matched in {sys.argv[1:]!r} "
+                         f"(known: {sorted(STAGES)})")
+    print("R3 WAVE DONE", flush=True)
