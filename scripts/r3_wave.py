@@ -175,6 +175,22 @@ def stage_c4_tcn():
     log_result(out)
 
 
+def stage_huge250():
+    """Retrain the 250-spk flagship into runs_r3 (the round-2b run dir was
+    overwritten by the identical-config 500-spk run — the hash doesn't cover
+    the corpus) so the 250-vs-500 speaker-diversity claim can carry CIs."""
+    from amss_tpu.data.synthetic import make_synthetic_corpus
+
+    v2huge = "/tmp/amss_corpus_v2huge"
+    if not os.path.exists(os.path.join(v2huge, "manifest.json")):
+        make_synthetic_corpus(v2huge, n_speakers=250, seconds_per_speaker=60.0,
+                              version=2, seed=2)
+    from amss_tpu.configs.recipes import c6_tasnet
+
+    run_stage("r3_tcn_huge250_16k", sized(c6_tasnet(), 16000), v2huge,
+              evals=(("v2test", V2),), n=200)
+
+
 def stage_boot():
     """`boot <run_dir> <name> [corpus] [n]` — n>=200 bootstrap-CI eval of an
     existing trained run (VERDICT r2 item 3)."""
@@ -239,6 +255,7 @@ def stage_bf16_ab():
 
 STAGES = {
     "c6_3spk": stage_c6_3spk,
+    "huge250": stage_huge250,
     "c4_tcn": stage_c4_tcn,
     "boot": stage_boot,
     "oracle": stage_oracle,
