@@ -17,23 +17,37 @@ Design (round 3 — replaces the round-2 sliding-window recompute, which
 re-uploaded and re-processed the full ~1020-frame receptive field every push;
 VERDICT r2 items 1b/2): ALL stream state lives on device and is DONATED
 through one jit step per push, so a push ships exactly one chunk of samples
-to the device and fetches exactly one [S, chunk] block back, and per-push
+to the device and fetches exactly one separated block back, and per-push
 compute is O(chunk) — the same FLOPs/audio-second as offline separation:
 
-  * encoder tail   [lag = filter_len - stride samples] — frames the new chunk
-    on the offline frame grid (push k yields global frames
+  * encoder tail   [B, lag = filter_len - stride samples] — frames the new
+    chunk on the offline frame grid (push k yields global frames
     [k*hop - ls + 1, (k+1)*hop - ls + 1), ls = filter_len/stride);
-  * smoothing tail [smooth_len - 1, N] — warm-up codes for the causal
+  * smoothing tail [B, smooth_len - 1, N] — warm-up codes for the causal
     learned-smoothing conv (models/adapt.py::features);
-  * norm carry     (count, sum, sumsq) — seeds cumulative_norm so frame t is
-    normalized by running stats of ALL frames <= t (models/front.py);
-  * per-block TCN conv state [(P-1)*dilation, H] — the causal depthwise
-    convs' look-back (models/tcn.py::tcn_stack_streaming); zero-initialized
-    state IS the offline left zero-padding, so streaming is exact;
-  * OLA tail       [S, lag] — partial overlap-add sums of the last frames'
-    decoder contributions;
+  * norm carry     (count, sum, sumsq)[B] — seeds cumulative_norm so frame t
+    is normalized by running stats of ALL frames <= t (models/front.py);
+  * TCN conv state, PACKED into ONE [B, n_blocks, ctx_max, H] buffer (each
+    block reads its last (P-1)*dilation rows; models/tcn.py::
+    tcn_stack_streaming) — one buffer instead of n_blocks separate leaves,
+    because the axon tunnel pays per-buffer overhead on every call;
+    zero-initialized state IS the offline left zero-padding, so streaming
+    is exact;
+  * OLA tail       [B, S, lag] — partial overlap-add sums of the last
+    frames' decoder contributions;
   * frame counter  — stream-start masking (the ls-1 pre-stream frames of the
-    first push) and end-of-utterance decode masking, computed in-graph.
+    first push) and per-stream end-of-utterance decode masking, in-graph.
+
+Serving shapes (the tunnel adds a fixed ~40 ms round trip per call —
+measured by bench.py `tunnel_roundtrip_ms` — so per-call cost, not compute,
+bounds single-stream serving through a tunnel):
+
+  * ``n_streams=B`` serves B independent utterance streams per push (state
+    batches over B), amortizing the round trip B-ways — the production
+    serving pattern;
+  * ``push_async`` dispatches without fetching, so the caller can overlap
+    push k+1 against fetch k (`separate_stream_pipelined`); on-host (no
+    tunnel) serving needs neither.
 
 Exactness notes: every stage's streamed arithmetic is the same multiply-add
 sequence as offline (valid-mode convs over [state, new] == padded convs over
@@ -59,10 +73,10 @@ _NO_END = np.iinfo(np.int32).max
 
 
 class RealtimeSeparator:
-    """Push fixed-size chunks of a mixture; pull separated chunks.
+    """Push fixed-size chunks of B mixture streams; pull separated chunks.
 
     Use `separate_stream(wave)` for the whole-utterance convenience path
-    (pads the tail, trims outputs) — bit-exact vs `model.separate` (tested in
+    (pads the tail, trims outputs) — exact vs `model.separate` (tested in
     tests/test_realtime.py).
 
     ``long_stream=True`` switches the norm carry to the cancellation-free
@@ -72,7 +86,7 @@ class RealtimeSeparator:
 
     def __init__(self, model, params, chunk_samples: int = 4096,
                  history_frames: int | None = None, sample_rate: int = 8000,
-                 long_stream: bool = False):
+                 long_stream: bool = False, n_streams: int = 1):
         # history_frames is accepted for round-2 API compatibility; the
         # streaming-state design has no recompute window to size.
         del history_frames
@@ -92,6 +106,7 @@ class RealtimeSeparator:
         # dropout without an rng is identity.)
         self.model, self.params = model, params
         self.c = chunk_samples
+        self.b = n_streams
         self.stride = f.stride
         self.ls = f.filter_len // f.stride
         self.hop = chunk_samples // f.stride  # frames per push
@@ -104,8 +119,12 @@ class RealtimeSeparator:
         self.sample_rate = sample_rate
         self.n_spk = c.nb_speakers
         self.long_stream = long_stream
+        self._dw_shapes = dw_state_shapes(2 * s.hidden, s.blocks, s.repeats,
+                                          s.kernel)
+        self._ctx_max = max(t for t, _ in self._dw_shapes)
         self._step = jax.jit(self._make_step(), donate_argnums=(1,))
         self._state = self._init_state()
+        self._pending = None  # (device est, dt_dispatch) from push_async
         self._compiled = False  # first push ever pays the XLA compile
         self._timed_pushes = 0  # post-compile pushes, across ALL streams
         self.compile_seconds = 0.0
@@ -114,21 +133,23 @@ class RealtimeSeparator:
     # ---------------------------------------------------------------- state
     def _init_state(self) -> dict:
         c = self.model.cfg
-        f, s = c.front, c.sep
-        hidden = 2 * s.hidden  # tcn depthwise channel count (base.init_trunk)
+        f = c.front
+        hidden = 2 * c.sep.hidden  # tcn depthwise channels (base.init_trunk)
+        b = self.b
         return {
-            "enc_tail": jnp.zeros((self.lag,), jnp.float32),
-            "smooth_tail": jnp.zeros((f.smooth_len - 1, f.n_filters), jnp.float32),
+            "enc_tail": jnp.zeros((b, self.lag), jnp.float32),
+            "smooth_tail": jnp.zeros((b, f.smooth_len - 1, f.n_filters),
+                                     jnp.float32),
             "norm_carry": (
-                jnp.zeros((1,), jnp.float32),
-                jnp.zeros((1,), jnp.float32),
-                jnp.zeros((1,), jnp.float32),
+                jnp.zeros((b,), jnp.float32),
+                jnp.zeros((b,), jnp.float32),
+                jnp.zeros((b,), jnp.float32),
             ),
-            "dw": [
-                jnp.zeros((1, t, ch), jnp.float32)
-                for t, ch in dw_state_shapes(hidden, s.blocks, s.repeats, s.kernel)
-            ],
-            "ola_tail": jnp.zeros((self.n_spk, self.lag), jnp.float32),
+            # one packed buffer for every block's conv look-back: block i
+            # reads its last (P-1)*d_i rows (left-padding rows stay zero)
+            "dw": jnp.zeros((b, len(self._dw_shapes), self._ctx_max, hidden),
+                            jnp.float32),
+            "ola_tail": jnp.zeros((b, self.n_spk, self.lag), jnp.float32),
             # global index of this push's FIRST frame (starts at -(ls-1):
             # the pre-stream frames of push 0, masked in-graph)
             "frame_base": jnp.asarray(-(self.ls - 1), jnp.int32),
@@ -138,60 +159,71 @@ class RealtimeSeparator:
     def _make_step(self):
         model, cfg = self.model, self.model.cfg
         hop, ls, lag = self.hop, self.ls, self.lag
-        c_samp, n_spk = self.c, self.n_spk
+        c_samp, n_spk, b = self.c, self.n_spk, self.b
         smooth_tail_len = cfg.front.smooth_len - 1
         compute_dtype = model._compute_dtype()
         norm = cumulative_norm_welford if self.long_stream else cumulative_norm
+        dw_shapes, ctx_max = self._dw_shapes, self._ctx_max
 
         def step(params, state, chunk, end_frame):
-            # chunk [c]; end_frame int32 scalar (total frames of a finite
-            # utterance, _NO_END for an open stream) -> ([S, c], state')
+            # chunk [B, c]; end_frame int32 [B] (total frames of each finite
+            # utterance, _NO_END for open streams) -> ([B, S, c], state')
             front = model.front
             g = state["frame_base"] + jnp.arange(hop, dtype=jnp.int32)  # [hop]
-            valid = (g >= 0).astype(jnp.float32)[None]  # [1, hop]
+            valid = jnp.broadcast_to((g >= 0).astype(jnp.float32)[None],
+                                     (b, hop))
 
             # -- encode the offline frame grid: concat(tail, chunk) frames to
             # exactly `hop` new frames; tail' = last lag raw samples
-            x = jnp.concatenate([state["enc_tail"], chunk])
-            codes, aux = front.encode(params["front"], x[None])  # [1, hop, N]
+            x = jnp.concatenate([state["enc_tail"], chunk], axis=-1)
+            codes, aux = front.encode(params["front"], x)  # [B, hop, N]
             codes = codes * valid[..., None]  # zero pre-stream frames
 
             # -- causal learned smoothing with carried warm-up codes
-            cat = jnp.concatenate([state["smooth_tail"][None], codes], axis=1)
+            cat = jnp.concatenate([state["smooth_tail"], codes], axis=1)
             feats = front.features(params["front"], cat)[:, smooth_tail_len:]
 
             # -- cumulative norm seeded by everything already streamed
             normed, carry = norm(feats, valid, carry=state["norm_carry"])
 
-            # -- causal TCN over only the new frames (carried conv state)
-            h, dw = tcn_stack_streaming(
-                params["separator"]["tcn"], normed, state["dw"], mask=valid,
+            # -- causal TCN over only the new frames (packed conv state)
+            states = [state["dw"][:, i, ctx_max - t :, :]
+                      for i, (t, _) in enumerate(dw_shapes)]
+            h, new_states = tcn_stack_streaming(
+                params["separator"]["tcn"], normed, states, mask=valid,
                 blocks_per_repeat=cfg.sep.blocks, compute_dtype=compute_dtype,
             )
+            dw = jnp.stack(
+                [jnp.pad(ns, ((0, 0), (ctx_max - t, 0), (0, 0)))
+                 for ns, (t, _) in zip(new_states, dw_shapes)], axis=1)
             m = jax.nn.sigmoid(
                 dense(params["separator"]["proj_mask"], h, compute_dtype)
-            ).reshape(1, hop, cfg.front.feature_dim, n_spk)
+            ).reshape(b, hop, cfg.front.feature_dim, n_spk)
 
-            # -- decode + streaming OLA; frames past the utterance end (the
-            # zero-padded tail of separate_stream) are masked out so the last
-            # samples match offline separation exactly
-            dec_valid = (valid * (g < end_frame).astype(jnp.float32)[None])
+            # -- decode + streaming OLA; frames past each utterance's end
+            # (the zero-padded tail of separate_stream) are masked out so the
+            # last samples match offline separation exactly
+            dec_valid = valid * (g[None, :] < end_frame[:, None]).astype(
+                jnp.float32
+            )
             codes_d = codes * dec_valid[..., None]
             span = (hop - 1) * cfg.front.stride + cfg.front.filter_len  # c+lag
-            outs = []
+            emitted, tails = [], []
             for si in range(n_spk):
                 y = front.decode(
                     params["front"], codes_d * m[..., si], aux, length=span
-                )[0]  # [c + lag]
-                emitted = y[:c_samp].at[:lag].add(state["ola_tail"][si])
-                outs.append((emitted, y[c_samp:]))
-            est = jnp.stack([o[0] for o in outs])  # [S, c]
+                )  # [B, c + lag]
+                emitted.append(
+                    y[:, :c_samp].at[:, :lag].add(state["ola_tail"][:, si])
+                )
+                tails.append(y[:, c_samp:])
+            est = jnp.stack(emitted, axis=1)  # [B, S, c]
             new_state = {
-                "enc_tail": x[c_samp:],
-                "smooth_tail": cat[0, hop:],
+                "enc_tail": x[:, c_samp:],
+                "smooth_tail": cat[:, hop:],
                 "norm_carry": carry,
                 "dw": dw,
-                "ola_tail": jnp.stack([o[1] for o in outs]),
+                "ola_tail": jnp.stack(tails, axis=1),
                 "frame_base": state["frame_base"] + hop,
             }
             return est, new_state
@@ -200,60 +232,140 @@ class RealtimeSeparator:
 
     # ----------------------------------------------------------------- host
     def reset(self) -> None:
-        """Start a new stream: zero the device-resident stream state (the jit
+        """Start new streams: zero the device-resident stream state (the jit
         cache and RTF meter persist).  Required between utterances — carried
-        state belongs to ONE stream."""
+        state belongs to ONE stream per slot."""
         self._state = self._init_state()
+        self._pending = None
 
-    def push(self, chunk: np.ndarray, end_frame: int | None = None) -> np.ndarray:
-        """chunk [c] mixture samples -> [S, c] separated samples (the stream
-        lags the input by filter_len - stride samples).
+    def _end_frames(self, end_frame) -> np.ndarray:
+        if end_frame is None:
+            return np.full((self.b,), _NO_END, np.int32)
+        return np.broadcast_to(np.asarray(end_frame, np.int32), (self.b,))
 
-        end_frame: total frame count of the finite utterance, when known —
-        zero-padded tail frames past it are excluded from decode so the last
-        samples match full-utterance separation exactly (separate_stream
-        passes it; a true infinite stream leaves it None)."""
-        if chunk.shape != (self.c,):
+    def _dispatch(self, chunk: np.ndarray, end_frame):
+        if self.b == 1 and chunk.shape == (self.c,):
+            chunk = chunk[None]
+        if chunk.shape != (self.b, self.c):
             raise ValueError(
-                f"push expects a ({self.c},) chunk, got {chunk.shape}"
+                f"push expects a ({self.b}, {self.c}) chunk batch "
+                f"(or ({self.c},) when n_streams=1), got {chunk.shape}"
             )
-        ef = np.int32(_NO_END if end_frame is None else end_frame)
-        t0 = time.perf_counter()
         est, self._state = self._step(
             self.params, self._state,
-            jnp.asarray(chunk.astype(np.float32, copy=False)), ef,
+            jnp.asarray(chunk.astype(np.float32, copy=False)),
+            jnp.asarray(self._end_frames(end_frame)),
         )
-        out = np.asarray(est)  # host fetch = sync point (axon tunnel's
-        # block_until_ready is a no-op)
-        dt = time.perf_counter() - t0
+        return est
+
+    def _book(self, dt: float) -> None:
         if not self._compiled:
             self.compile_seconds += dt
             self._compiled = True
         else:
             self.compute_seconds += dt
             self._timed_pushes += 1
+
+    def push(self, chunk: np.ndarray, end_frame=None) -> np.ndarray:
+        """chunk [B, c] (or [c] when n_streams == 1) mixture samples ->
+        [B, S, c] ([S, c]) separated samples (the output stream lags the
+        input by filter_len - stride samples).
+
+        end_frame: total frame count of each finite utterance, when known
+        (int or [B] array) — zero-padded tail frames past it are excluded
+        from decode so the last samples match full-utterance separation
+        exactly (separate_stream passes it; open streams leave it None)."""
+        squeeze = self.b == 1 and chunk.ndim == 1
+        t0 = time.perf_counter()
+        est = self._dispatch(chunk, end_frame)
+        out = np.asarray(est)  # host fetch = sync point (axon tunnel's
+        # block_until_ready is a no-op)
+        self._book(time.perf_counter() - t0)
+        return out[0] if squeeze else out
+
+    def push_async(self, chunk: np.ndarray, end_frame=None) -> np.ndarray | None:
+        """Dispatch a push WITHOUT fetching; returns the PREVIOUS push's
+        separated block (None on the first call).  Overlaps push k+1's
+        upload/compute against fetch k — through a tunnel whose round trip
+        dwarfs compute, this pipelining is what sustains real-time.  Call
+        ``flush()`` for the final block."""
+        t0 = time.perf_counter()
+        est = self._dispatch(chunk, end_frame)
+        out = None
+        if self._pending is not None:
+            out = np.asarray(self._pending)
+            if self.b == 1:
+                out = out[0]
+        self._pending = est
+        self._book(time.perf_counter() - t0)
         return out
 
+    def flush(self) -> np.ndarray | None:
+        """Fetch the last push_async block."""
+        if self._pending is None:
+            return None
+        t0 = time.perf_counter()
+        out = np.asarray(self._pending)
+        self._pending = None
+        self.compute_seconds += time.perf_counter() - t0
+        return out[0] if self.b == 1 else out
+
+    def _plan(self, t: int):
+        n_chunks = -(-(t + self.lag) // self.c)
+        nf = self.model.cfg.front.frames_for(t)
+        return n_chunks, nf
+
     def separate_stream(self, wave: np.ndarray) -> np.ndarray:
-        """Whole-utterance convenience: stream `wave` through push() and
-        return [S, len(wave)] — exactly model.separate's output.  Resets any
-        previous stream state first (safe to call per utterance)."""
+        """Whole-utterance convenience (n_streams == 1): stream `wave`
+        through push() and return [S, len(wave)] — exactly model.separate's
+        output.  Resets any previous stream state first."""
+        assert self.b == 1, "separate_stream serves one stream; see n_streams"
         self.reset()
         t = len(wave)
-        n_chunks = -(-(t + self.lag) // self.c)
+        n_chunks, nf = self._plan(t)
         padded = np.zeros(n_chunks * self.c, np.float32)
         padded[:t] = wave
-        nf = self.model.cfg.front.frames_for(t)
         outs = [self.push(padded[i * self.c : (i + 1) * self.c], end_frame=nf)
                 for i in range(n_chunks)]
         full = np.concatenate(outs, axis=-1)  # [S, n_chunks*c], lags by `lag`
         return full[:, self.lag : self.lag + t]
+
+    def separate_stream_pipelined(self, wave: np.ndarray) -> np.ndarray:
+        """separate_stream via push_async/flush: identical output, one extra
+        chunk of latency, ~2x throughput through a high-latency tunnel."""
+        assert self.b == 1
+        self.reset()
+        t = len(wave)
+        n_chunks, nf = self._plan(t)
+        padded = np.zeros(n_chunks * self.c, np.float32)
+        padded[:t] = wave
+        outs = [self.push_async(padded[i * self.c : (i + 1) * self.c],
+                                end_frame=nf) for i in range(n_chunks)]
+        outs = [o for o in outs if o is not None] + [self.flush()]
+        full = np.concatenate(outs, axis=-1)
+        return full[:, self.lag : self.lag + t]
+
+    def separate_streams(self, waves: np.ndarray) -> np.ndarray:
+        """Batched whole-utterance path: waves [B, T] -> [B, S, T], all B
+        streams advancing one chunk per push (the multi-stream serving
+        pattern, round-trip cost amortized B ways)."""
+        assert waves.shape[0] == self.b
+        self.reset()
+        t = waves.shape[-1]
+        n_chunks, nf = self._plan(t)
+        padded = np.zeros((self.b, n_chunks * self.c), np.float32)
+        padded[:, :t] = waves
+        outs = [self.push(padded[:, i * self.c : (i + 1) * self.c],
+                          end_frame=nf) for i in range(n_chunks)]
+        full = np.concatenate(outs, axis=-1)  # [B, S, n*c]
+        return full[:, :, self.lag : self.lag + t]
 
     @property
     def rtf(self) -> float:
         """End-to-end real-time factor over everything pushed so far, across
         all streams: wall time of push (chunk upload + compute + output
         fetch) / audio time (first-push compile excluded; serving reuses the
-        cache)."""
-        audio_s = self._timed_pushes * self.c / self.sample_rate
+        cache).  With n_streams=B, each push advances B seconds of audio per
+        chunk-second."""
+        audio_s = self._timed_pushes * self.b * self.c / self.sample_rate
         return self.compute_seconds / audio_s if audio_s else float("inf")

@@ -228,7 +228,7 @@ def cumulative_norm(
     s = jnp.cumsum(jnp.sum(x, axis=-1), axis=-1)
     ss = jnp.cumsum(jnp.sum(x * x, axis=-1), axis=-1)
     if carry is not None:
-        c0, s0, ss0 = carry
+        c0, s0, ss0 = (jnp.asarray(v)[..., None] for v in carry)
         cnt, s, ss = cnt + c0, s + s0, ss + ss0
     denom = jnp.maximum(cnt, 1.0)
     mu = s / denom

@@ -212,6 +212,8 @@ def main():
 
         model7, params7, trained7 = _trained_or_init("c7_causal", c7_realtime)
         out["realtime_trained_weights"] = trained7
+        # single stream, synchronous push: latency-bound through the tunnel
+        # (every push pays ~1 round trip; compare tunnel_roundtrip_ms)
         rt = RealtimeSeparator(model7, params7, chunk_samples=8192)
         for i in range(12):
             rt.push(waves[i % len(waves)][:8192])
@@ -219,6 +221,22 @@ def main():
         out["realtime_push_ms"] = round(
             1000.0 * rt.compute_seconds / max(rt._timed_pushes, 1), 2
         )
+        # single stream, pipelined (push k+1 dispatched before fetch k)
+        rt.reset()
+        rt.compute_seconds = 0.0
+        rt._timed_pushes = 0
+        for i in range(12):
+            rt.push_async(waves[i % len(waves)][:8192])
+        rt.flush()
+        out["realtime_rtf_pipelined"] = round(rt.rtf, 5)
+        # 16 concurrent streams per push: the production serving shape —
+        # the round trip amortizes 16 ways (per-STREAM rtf reported)
+        rt16 = RealtimeSeparator(model7, params7, chunk_samples=8192,
+                                 n_streams=16)
+        batch = np.stack([waves[i][:8192] for i in range(16)])
+        for _ in range(8):
+            rt16.push(batch)
+        out["realtime_rtf_16streams"] = round(rt16.rtf, 5)
     except Exception as e:
         out["realtime_rtf_error"] = repr(e)[:160]
 

@@ -116,6 +116,37 @@ def test_long_stream_mode_matches_offline():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_multi_stream_batch_matches_offline():
+    """n_streams=B serves B independent utterances per push (round-trip cost
+    amortized B ways); every stream must equal its own offline separation."""
+    cfg = _tiny_c7()
+    model = make_model(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    waves = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(11), (3, 4000)) * 0.3, np.float32
+    )
+    offline = np.asarray(model.separate(params, jnp.asarray(waves)))
+    rt = RealtimeSeparator(model, params, chunk_samples=1024, n_streams=3)
+    streamed = rt.separate_streams(waves)
+    assert streamed.shape == offline.shape == (3, 2, 4000)
+    np.testing.assert_allclose(streamed, offline, rtol=1e-4, atol=1e-5)
+
+
+def test_pipelined_stream_matches_sync():
+    """push_async/flush (dispatch k+1 before fetch k) reorders only the
+    host-side fetches — output must be identical to the sync path."""
+    cfg = _tiny_c7()
+    model = make_model(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    wave = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(13), (5000,)) * 0.3, np.float32
+    )
+    rt = RealtimeSeparator(model, params, chunk_samples=1024)
+    sync = rt.separate_stream(wave)
+    piped = rt.separate_stream_pipelined(wave)
+    np.testing.assert_array_equal(sync, piped)
+
+
 def test_push_rejects_wrong_chunk_shape():
     """ValueError (not a stripped assert) on a wrong-size chunk — a silent
     mis-framing corrupted the stream otherwise (advisor r2)."""
