@@ -44,6 +44,8 @@ def _add_train_overrides(p: argparse.ArgumentParser):
                    help="dprnn dual-path block count / tcn blocks per repeat")
     p.add_argument("--repeats", type=int, help="tcn dilation-ladder repeats")
     p.add_argument("--kernel", type=int, help="tcn depthwise kernel width")
+    p.add_argument("--expansion", type=int,
+                   help="tcn conv-channel expansion H = expansion * hidden")
     p.add_argument("--chunk-frames", type=int, help="dprnn intra-chunk length K")
     p.add_argument("--dropout", type=float)
     p.add_argument("--feature-norm", choices=["global", "channel", "cumulative"])
@@ -97,6 +99,7 @@ def _build_recipe(args, store):
             "blocks": getattr(args, "blocks", None),
             "repeats": getattr(args, "repeats", None),
             "kernel": getattr(args, "kernel", None),
+            "expansion": getattr(args, "expansion", None),
             "chunk_frames": getattr(args, "chunk_frames", None),
             "dropout": getattr(args, "dropout", None),
             "feature_norm": getattr(args, "feature_norm", None),

@@ -119,10 +119,20 @@ class RealtimeSeparator:
         self.sample_rate = sample_rate
         self.n_spk = c.nb_speakers
         self.long_stream = long_stream
-        self._dw_shapes = dw_state_shapes(2 * s.hidden, s.blocks, s.repeats,
-                                          s.kernel)
+        self._dw_shapes = dw_state_shapes(s.expansion * s.hidden, s.blocks,
+                                          s.repeats, s.kernel)
         self._ctx_max = max(t for t, _ in self._dw_shapes)
-        self._step = jax.jit(self._make_step(), donate_argnums=(1,))
+        # params are CLOSED OVER (baked into the executable as constants),
+        # not passed per call: the axon tunnel pays per-buffer overhead on
+        # every dispatch, and the TCN param tree is ~100 leaves — an order
+        # of magnitude more handles than the packed stream state.  The jit
+        # cache is per-instance either way (fresh closure per separator).
+        step = self._make_step()
+        params_c = jax.tree_util.tree_map(jnp.asarray, params)
+        self._step = jax.jit(
+            lambda state, chunk, end: step(params_c, state, chunk, end),
+            donate_argnums=(0,),
+        )
         self._state = self._init_state()
         self._pending = None  # (device est, dt_dispatch) from push_async
         self._compiled = False  # first push ever pays the XLA compile
@@ -134,7 +144,7 @@ class RealtimeSeparator:
     def _init_state(self) -> dict:
         c = self.model.cfg
         f = c.front
-        hidden = 2 * c.sep.hidden  # tcn depthwise channels (base.init_trunk)
+        hidden = c.sep.expansion * c.sep.hidden  # tcn dw ch (base.init_trunk)
         b = self.b
         return {
             "enc_tail": jnp.zeros((b, self.lag), jnp.float32),
@@ -252,7 +262,7 @@ class RealtimeSeparator:
                 f"(or ({self.c},) when n_streams=1), got {chunk.shape}"
             )
         est, self._state = self._step(
-            self.params, self._state,
+            self._state,
             jnp.asarray(chunk.astype(np.float32, copy=False)),
             jnp.asarray(self._end_frames(end_frame)),
         )

@@ -45,10 +45,18 @@ class RTFMeter:
     compute_seconds: float = 0.0
     compile_seconds: float = 0.0  # one-time XLA compiles, excluded from rtf
     utterances: int = 0
+    calls: int = 0  # dispatch+fetch round trips booked into compute_seconds
 
     @property
     def rtf(self) -> float:
         return self.compute_seconds / max(self.audio_seconds, 1e-9)
+
+    def rtf_device_est(self, roundtrip_s: float) -> float:
+        """RTF with the tunnel's fixed per-call round trip subtracted — the
+        on-host (no-tunnel) serving estimate (bench.py measures roundtrip_s
+        directly; each serving call pays one dispatch+fetch round trip)."""
+        dev = self.compute_seconds - self.calls * roundtrip_s
+        return max(dev, 0.0) / max(self.audio_seconds, 1e-9)
 
     @property
     def utterances_per_sec(self) -> float:
@@ -126,6 +134,7 @@ class StreamingSeparator:
             self.meter.compute_seconds += time.perf_counter() - t0
             self.meter.audio_seconds += len(waves[i]) / self.sample_rate
             self.meter.utterances += 1
+            self.meter.calls += 1
 
         bucketable = [i for i in range(len(waves)) if results[i] is None]
         order = sorted(bucketable, key=lambda i: len(waves[i]))
@@ -149,6 +158,7 @@ class StreamingSeparator:
             # block_until_ready returns before remote execution completes)
             dt = time.perf_counter() - t0
             self.meter.compute_seconds += dt
+            self.meter.calls += 1
             for j, i in enumerate(group):
                 t_i = len(waves[i])
                 results[i] = est_np[j, :, :t_i]

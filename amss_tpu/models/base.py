@@ -50,7 +50,7 @@ class SeparatorBase:
                     key,
                     c.front.feature_dim,
                     bottleneck=c.sep.hidden,
-                    hidden=2 * c.sep.hidden,
+                    hidden=c.sep.expansion * c.sep.hidden,
                     blocks=c.sep.blocks,
                     repeats=c.sep.repeats,
                     kernel=c.sep.kernel,

@@ -60,6 +60,10 @@ class SeparatorConfig:
     blocks: int = 6  # dprnn dual-path block count / tcn blocks per repeat
     repeats: int = 2  # tcn: repeats of the dilation ladder
     kernel: int = 3  # tcn: depthwise conv kernel width P
+    # tcn: conv-channel expansion H = expansion * hidden (bottleneck).  The
+    # canonical Conv-TasNet ratio is 4 (B=128, H=512); 2 is this repo's
+    # round-2 default (kept so existing checkpoints restore unchanged).
+    expansion: int = 2
     # causal=True (tcn only): left-padded dilated convs — frame t never reads
     # the future; pair with feature_norm="cumulative" for the exact
     # low-latency streaming path (infer/realtime.py).

@@ -122,10 +122,15 @@ def main():
     rtf1 = sep.meter.rtf
     c1_sec = sep.meter.compute_seconds
     sep.meter.compute_seconds = sep.meter.audio_seconds = 0.0
+    sep.meter.calls = 0
     est = sep.separate_all(waves, max_batch=batch)
     rtf2 = sep.meter.rtf
     rtf = rtf2  # headline = the fully-warm steady-state pass
     out.update(rtf_pass1=round(rtf1, 6), rtf_pass2=round(rtf2, 6))
+    if "tunnel_roundtrip_ms" in out:  # device-only (on-host serving) estimate
+        out["rtf_device_est"] = round(
+            sep.meter.rtf_device_est(out["tunnel_roundtrip_ms"] / 1000.0), 6
+        )
     target = 0.05
 
     # MFU accounting: FLOPs of the compiled separate program from XLA's cost

@@ -253,8 +253,25 @@ def stage_bf16_ab():
         })
 
 
+def stage_flagship2():
+    """Flagship v2: canonical Conv-TasNet capacity (B=128, H=512 via
+    expansion=4) on the 1000-speaker x 60 s corpus — the n=200 bootstrap
+    re-evaluation showed the n=32 test draw read ~1 dB optimistic, so the
+    10 dB SDRi bar needs a genuinely better model, and the measured levers
+    are data diversity then capacity (PARITY.md round-2 ladder)."""
+    from amss_tpu.configs.recipes import c6_tasnet
+
+    giant = "/tmp/amss_corpus_v2giant"
+    steps = int(sys.argv[sys.argv.index("flagship2") + 1]) \
+        if len(sys.argv) > sys.argv.index("flagship2") + 1 else 32000
+    r = sized(c6_tasnet(), steps, expansion=4)
+    run_stage(f"flagship2_exp4_giant_{steps // 1000}k", r, giant,
+              evals=(("v2test", V2), ("gianttest", giant)), n=200)
+
+
 STAGES = {
     "c6_3spk": stage_c6_3spk,
+    "flagship2": stage_flagship2,
     "huge250": stage_huge250,
     "c4_tcn": stage_c4_tcn,
     "boot": stage_boot,
