@@ -189,3 +189,25 @@ def test_separator_reusable_across_utterances():
         offline = np.asarray(model.separate(params, jnp.asarray(wave)[None])[0])
         streamed = rt.separate_stream(wave)
         np.testing.assert_allclose(streamed, offline, rtol=1e-4, atol=1e-5)
+
+
+def test_realtime_exact_with_expansion_4():
+    """The capacity knob (SeparatorConfig.expansion — canonical Conv-TasNet
+    H = 4B, flagship2) threads through init, offline separate, and the
+    streaming conv-state shapes identically to the default expansion=2."""
+    cfg = _tiny_c7()
+    cfg = dataclasses.replace(
+        cfg, sep=dataclasses.replace(cfg.sep, expansion=4)
+    )
+    model = make_model(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    # conv channels really are expansion * hidden
+    assert params["separator"]["tcn"]["blocks"][0]["dw"].shape[-1] == 4 * 16
+    t = 3000
+    wave = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(5), (t,)) * 0.3, np.float32
+    )
+    offline = np.asarray(model.separate(params, jnp.asarray(wave)[None])[0])
+    rt = RealtimeSeparator(model, params, chunk_samples=1024)
+    streamed = rt.separate_stream(wave)
+    np.testing.assert_allclose(streamed, offline, rtol=1e-4, atol=1e-5)
