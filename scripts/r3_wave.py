@@ -269,9 +269,39 @@ def stage_flagship2():
               evals=(("v2test", V2), ("gianttest", giant)), n=200)
 
 
+def stage_c7v2():
+    """Causal flagship v2: same capacity/data lift as flagship2 (expansion=4,
+    1000-spk corpus) applied to the low-latency causal recipe."""
+    from amss_tpu.configs.recipes import c7_realtime
+
+    giant = "/tmp/amss_corpus_v2giant"
+    steps = int(sys.argv[sys.argv.index("c7v2") + 1]) \
+        if len(sys.argv) > sys.argv.index("c7v2") + 1 else 32000
+    r = sized(c7_realtime(), steps, expansion=4, repeats=3)
+    run_stage(f"c7v2_exp4_giant_{steps // 1000}k", r, giant,
+              evals=(("v2test", V2),), n=200)
+
+
+def stage_3spk2():
+    """3-speaker flagship v2: expansion=4 + the 1000-spk corpus, 3-mix."""
+    import dataclasses as dc
+
+    from amss_tpu.configs.recipes import c6_tasnet
+
+    giant = "/tmp/amss_corpus_v2giant"
+    steps = int(sys.argv[sys.argv.index("3spk2") + 1]) \
+        if len(sys.argv) > sys.argv.index("3spk2") + 1 else 24000
+    r = sized(c6_tasnet(), steps, expansion=4)
+    r = dc.replace(r, model=dc.replace(r.model, nb_speakers=3))
+    run_stage(f"c6_3spk2_exp4_giant_{steps // 1000}k", r, giant,
+              evals=(("v2test3", V2),), n=64)
+
+
 STAGES = {
     "c6_3spk": stage_c6_3spk,
     "flagship2": stage_flagship2,
+    "c7v2": stage_c7v2,
+    "3spk2": stage_3spk2,
     "huge250": stage_huge250,
     "c4_tcn": stage_c4_tcn,
     "boot": stage_boot,
