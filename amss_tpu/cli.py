@@ -220,8 +220,12 @@ def cmd_evaluate(args):
     sep = StreamingSeparator(model, params, sample_rate=recipe.sample_rate)
     est = sep.separate_all(mixes)
     out = evaluate_separation(
-        np.stack(est), np.stack(refs), np.stack(mixes)
+        np.stack(est), np.stack(refs), np.stack(mixes), per_utt=True
     )
+    # CI noise floor at small n (stderr ~0.6 dB at n=32) — surface it so CLI
+    # users read comparisons with the same error bars the PARITY tables carry
+    out.pop("si_sdri_per_utt", None)
+    out.pop("sdri_per_utt", None)
     out["rtf"] = sep.meter.rtf
     out["utterances_per_sec"] = sep.meter.utterances_per_sec
     print(json.dumps(out))

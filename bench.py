@@ -192,6 +192,46 @@ def main():
                     )
                 except Exception:
                     pass
+        # Training-side throughput/MFU for the flagship arch: serving through
+        # the tunnel is round-trip-bound, so the chip's real utilization story
+        # is the train step (value_and_grad; optimizer update is negligible).
+        try:
+            import jax.numpy as jnp
+
+            from amss_tpu.utils.profiling import compiled_flops, mfu
+
+            bt, ct = 16, 16384
+
+            def train_loss(p, sources):
+                l, _ = model6.loss_from_batch(p, {"sources": sources})
+                return l
+
+            g = jax.jit(jax.value_and_grad(train_loss))
+            src = jnp.asarray(
+                np.random.default_rng(1)
+                .standard_normal((bt, 2, ct))
+                .astype(np.float32)
+                * 0.1
+            )
+            lv, _ = g(params6, src)
+            np.asarray(lv)  # compile + sync
+            t0 = time.perf_counter()
+            for _ in range(10):
+                lv, _ = g(params6, src)
+            np.asarray(lv)
+            dt = (time.perf_counter() - t0) / 10
+            f_tr = compiled_flops(
+                lambda p, s: jax.value_and_grad(train_loss)(p, s), params6, src
+            )
+            m_tr = mfu(f_tr, dt)
+            out.update(
+                train_step_ms_b16=round(1000 * dt, 2),
+                train_audio_s_per_s=round(bt * ct / SAMPLE_RATE / dt, 1),
+                train_mfu_vs_v5e_peak=round(m_tr["mfu_vs_v5e_peak"], 5),
+            )
+        except Exception as e:
+            out["train_mfu_error"] = repr(e)[:120]
+
         if trained6:
             from amss_tpu.infer.evaluate import evaluate_separation
 

@@ -269,6 +269,21 @@ def stage_flagship2():
               evals=(("v2test", V2), ("gianttest", giant)), n=200)
 
 
+def stage_flagship2b():
+    """Capacity lever isolated: expansion-4 on the PROVEN 500-spk corpus
+    (flagship2's exp4+v2giant read 9.49 v2test — worse than exp2+v2max's
+    9.96, confounding corpus and capacity; this arm pins the arch effect).
+    Longer schedule: 16k->32k gave +0.5 dB at exp2, and exp4 trains at the
+    same ~12 steps/s (input-bound), so steps are cheap."""
+    from amss_tpu.configs.recipes import c6_tasnet
+
+    steps = int(sys.argv[sys.argv.index("flagship2b") + 1]) \
+        if len(sys.argv) > sys.argv.index("flagship2b") + 1 else 48000
+    r = sized(c6_tasnet(), steps, expansion=4)
+    run_stage(f"flagship2b_exp4_max_{steps // 1000}k", r, V2MAX,
+              evals=(("v2test", V2),), n=200)
+
+
 def stage_c7v2():
     """Causal flagship v2: same capacity/data lift as flagship2 (expansion=4,
     1000-spk corpus) applied to the low-latency causal recipe."""
