@@ -284,6 +284,28 @@ def stage_flagship2b():
               evals=(("v2test", V2),), n=200)
 
 
+def stage_input_ab():
+    """Input-pipeline A/B on the TCN flagship arch: host mixing + int16 wire
+    vs HBM-resident corpus (train.device_data) — flagship2 trained at the
+    same ~12 steps/s as the 2x-smaller exp2 arch, suggesting the step is
+    input-bound, which device_data exists to fix."""
+    import dataclasses as dc
+
+    from amss_tpu.configs.recipes import c6_tasnet
+
+    for dev in (False, True):
+        r = sized(c6_tasnet(), 220, expansion=4)
+        r = dc.replace(r, train=dc.replace(r.train, device_data=dev))
+        tr, state, secs = train(r, V2MAX)
+        rows = [json.loads(l) for l in open(os.path.join(tr.dir, "metrics.jsonl"))]
+        walls = [x["train/steps_per_sec"] for x in rows if "train/steps_per_sec" in x]
+        log_result({
+            "stage": f"input_ab_device_data_{dev}",
+            "train_seconds_total": secs,
+            "train_steps_per_sec_tail": walls[-3:],
+        })
+
+
 def stage_c7v2():
     """Causal flagship v2: same capacity/data lift as flagship2 (expansion=4,
     1000-spk corpus) applied to the low-latency causal recipe."""
@@ -317,6 +339,8 @@ STAGES = {
     "flagship2": stage_flagship2,
     "c7v2": stage_c7v2,
     "3spk2": stage_3spk2,
+    "flagship2b": stage_flagship2b,
+    "input_ab": stage_input_ab,
     "huge250": stage_huge250,
     "c4_tcn": stage_c4_tcn,
     "boot": stage_boot,
