@@ -334,8 +334,40 @@ def stage_3spk2():
               evals=(("v2test3", V2),), n=64)
 
 
+def stage_c7v2b():
+    """Causal flagship v3 arm: flagship2b's lesson applied to the causal
+    recipe — expansion-4 on the PROVEN 500-spk corpus (c7v2's exp4+v2giant
+    read 8.54; the 2-mix de-confound showed v2max > v2giant by ~0.5 dB at
+    equal arch/steps) plus the longer 48k schedule."""
+    from amss_tpu.configs.recipes import c7_realtime
+
+    steps = int(sys.argv[sys.argv.index("c7v2b") + 1]) \
+        if len(sys.argv) > sys.argv.index("c7v2b") + 1 else 48000
+    r = sized(c7_realtime(), steps, expansion=4, repeats=3)
+    run_stage(f"c7v2b_exp4_max_{steps // 1000}k", r, V2MAX,
+              evals=(("v2test", V2),), n=200)
+
+
+def stage_3spk3():
+    """3-speaker flagship v3 arm: same de-confound for the 3-mix setting —
+    exp4 on v2max (3spk2's winner used v2giant, confounded with steps) at a
+    40k schedule."""
+    import dataclasses as dc
+
+    from amss_tpu.configs.recipes import c6_tasnet
+
+    steps = int(sys.argv[sys.argv.index("3spk3") + 1]) \
+        if len(sys.argv) > sys.argv.index("3spk3") + 1 else 40000
+    r = sized(c6_tasnet(), steps, expansion=4)
+    r = dc.replace(r, model=dc.replace(r.model, nb_speakers=3))
+    run_stage(f"c6_3spk3_exp4_max_{steps // 1000}k", r, V2MAX,
+              evals=(("v2test3", V2),), n=64)
+
+
 STAGES = {
     "c6_3spk": stage_c6_3spk,
+    "c7v2b": stage_c7v2b,
+    "3spk3": stage_3spk3,
     "flagship2": stage_flagship2,
     "c7v2": stage_c7v2,
     "3spk2": stage_3spk2,
