@@ -22,12 +22,40 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Upload slab size.  The axon tunnel rejects oversized single HTTP bodies
+# (HTTP 413) on both the compile and transfer endpoints, so a production-size
+# corpus (v2max: 500 spk x 40 s = ~330 MB int16) must go up in pieces and be
+# stitched on device.  64 MB slabs keep each request comfortably under the
+# limit while amortizing per-request overhead.
+_SLAB_BYTES = 64 << 20
+
+
+def _upload_slabbed(flat_np: np.ndarray, sharding=None) -> jnp.ndarray:
+    """Host int16 flat array -> one device array, transferred in <=64 MB slabs
+    and concatenated on device (the concat's compile payload carries only
+    shapes, never the data)."""
+    slab = max(1, _SLAB_BYTES // flat_np.dtype.itemsize)
+    parts = [
+        jax.device_put(flat_np[i : i + slab], sharding)
+        for i in range(0, flat_np.size, slab)
+    ]
+    if len(parts) == 1:
+        return parts[0]
+    return jnp.concatenate(parts)
+
 
 class DeviceCorpus:
     """All speaker shards as one device-resident int16 [n_speakers * row] flat
-    array; `gather` slices chunks inside jit."""
+    array; `gather` slices chunks inside jit.
 
-    def __init__(self, store, chunk_samples: int):
+    The flat array must be threaded into jit programs as an ARGUMENT
+    (``gather(..., flat=flat)``), never captured by closure: a closed-over
+    concrete array is baked into the lowered HLO as a literal constant, which
+    (a) bloats every (re)compile by the corpus size and (b) overflows the axon
+    tunnel's remote_compile request limit (observed: HTTP 413 at ~330 MB).
+    """
+
+    def __init__(self, store, chunk_samples: int, sharding=None):
         lens = [store.n_samples(s) for s in store.speakers]
         # Row length: every shard tiled up to max(shard lens, chunk) so any
         # start in [0, len) yields a full in-row chunk.
@@ -38,7 +66,7 @@ class DeviceCorpus:
             w = np.asarray(store.waveform(s), np.float32)
             q = np.clip(np.round(w * 32767.0), -32767, 32767).astype(np.int16)
             arr[i] = np.resize(q, self.row)  # tile = wrap semantics
-        self.flat = jnp.asarray(arr.reshape(-1))  # [n * row] int16, one upload
+        self.flat = _upload_slabbed(arr.reshape(-1), sharding)  # [n*row] int16
         self.chunk = chunk_samples
 
     def gather(
@@ -46,16 +74,21 @@ class DeviceCorpus:
         speaker_ids: jnp.ndarray,  # [B, S] int32 global store indices
         starts: jnp.ndarray,  # [B, S] int32
         gains: jnp.ndarray,  # [B, S] float32
+        flat: jnp.ndarray | None = None,  # pass self.flat as a jit ARGUMENT
     ) -> jnp.ndarray:
         """-> sources [B, S, T] float32 (dequantized, gain-scaled).  Pure; call
-        inside the jit step."""
+        inside the jit step, passing ``flat`` explicitly so the corpus enters
+        the program as a parameter (closure capture would constant-fold it
+        into the executable — see class docstring)."""
+        if flat is None:
+            flat = self.flat  # eager/interactive use only
         b, s = speaker_ids.shape
         flat_idx = speaker_ids.reshape(-1).astype(jnp.int32) * self.row + starts.reshape(
             -1
         ).astype(jnp.int32)
 
         def one(off):
-            return jax.lax.dynamic_slice_in_dim(self.flat, off, self.chunk)
+            return jax.lax.dynamic_slice_in_dim(flat, off, self.chunk)
 
         chunks = jax.vmap(one)(flat_idx)  # [B*S, T] int16
         out = chunks.astype(jnp.float32) * (1.0 / 32767.0)

@@ -140,7 +140,14 @@ class Trainer:
         if recipe.train.device_data:
             from amss_tpu.data.device_corpus import DeviceCorpus
 
-            self.corpus = DeviceCorpus(store, recipe.train.chunk_samples)
+            # Replicated upload: every device holds the corpus, batch plans
+            # shard over `data`.  The flat array is threaded into the jit step
+            # as an argument (never closure-captured) — see DeviceCorpus.
+            self.corpus = DeviceCorpus(
+                store,
+                recipe.train.chunk_samples,
+                sharding=replicated_sharding(self.mesh),
+            )
 
     def _draw(self, split: str, step: int, batch_size: int, host: int = 0):
         """Host-side batch draw: a Plan in device-data mode, else audio."""
@@ -150,14 +157,17 @@ class Trainer:
 
     def _make_prep(self):
         """In-step batch preprocessing: plan->gather (device mode) or int16
-        dequantize (host mode)."""
+        dequantize (host mode).  Returns prep(batch, corpus_flat); the flat
+        corpus rides in as a jit argument (closure capture would bake ~100s
+        of MB into the compiled program — HTTP 413 on the axon tunnel)."""
         corpus = self.corpus
         if corpus is None:
-            return Trainer._dequantize
+            return lambda batch, corpus_flat: Trainer._dequantize(batch)
 
-        def prep(batch):
+        def prep(batch, corpus_flat):
             sources = corpus.gather(
-                batch["plan_ids"], batch["plan_starts"], batch["plan_gains"]
+                batch["plan_ids"], batch["plan_starts"], batch["plan_gains"],
+                flat=corpus_flat,
             )
             return {"sources": sources, "speaker_ids": batch["plan_ids"]}
 
@@ -189,8 +199,8 @@ class Trainer:
         seed = self.recipe.train.seed
         prep = self._make_prep()
 
-        def step(params, opt_state, batch, front_grad_scale, step_idx):
-            batch = prep(batch)
+        def step(params, opt_state, batch, corpus_flat, front_grad_scale, step_idx):
+            batch = prep(batch, corpus_flat)
             # Per-step dropout key, derived in-graph so resume stays bit-exact
             # (key = f(seed, step), no host RNG state to checkpoint).
             rng = jax.random.fold_in(jax.random.PRNGKey(seed), step_idx)
@@ -212,18 +222,21 @@ class Trainer:
 
         rep = replicated_sharding(self.mesh)
         data = batch_sharding(self.mesh)
+        cf_sh = rep if self.corpus is not None else None
         self._step_fn = jax.jit(
             step,
             donate_argnums=(0, 1),
-            in_shardings=(rep, rep, data, None, None),
+            in_shardings=(rep, rep, data, cf_sh, None, None),
             out_shardings=(rep, rep, rep),
         )
 
-        def valid(params, batch):
-            l, metrics = model.loss_from_batch(params, prep(batch))
+        def valid(params, batch, corpus_flat):
+            l, metrics = model.loss_from_batch(params, prep(batch, corpus_flat))
             return {"loss": l, **metrics}  # canonical total-objective key
 
-        self._valid_fn = jax.jit(valid, in_shardings=(rep, data), out_shardings=rep)
+        self._valid_fn = jax.jit(
+            valid, in_shardings=(rep, data, cf_sh), out_shardings=rep
+        )
 
     def _device_batch(self, batch):
         """Host batch (this process's LOCAL shard) -> device arrays.
@@ -292,10 +305,11 @@ class Trainer:
             start_step=start,
             end_step=r.steps,
         )
+        corpus_flat = self.corpus.flat if self.corpus is not None else None
         for step, batch in batches:
             fscale = jnp.float32(0.0 if step < self.recipe.freeze_front_steps else 1.0)
             params, opt_state, metrics = self._step_fn(
-                params, opt_state, batch, fscale, jnp.int32(step)
+                params, opt_state, batch, corpus_flat, fscale, jnp.int32(step)
             )
 
             if (step + 1) % log_every == 0:
@@ -332,10 +346,11 @@ class Trainer:
         # Mirror fit()'s multi-host contract: local slice per process.
         local_bs = r.batch_size // jax.process_count()
         host = jax.process_index()
+        corpus_flat = self.corpus.flat if self.corpus is not None else None
         losses = []
         for i in range(r.valid_steps):
             hb = self._draw(split, offset + i, local_bs, host=host)
-            metrics = self._valid_fn(params, self._device_batch(hb))
+            metrics = self._valid_fn(params, self._device_batch(hb), corpus_flat)
             losses.append(float(metrics["loss"]))
         vloss = float(np.mean(losses))
         self.writer.scalars(step + 1, {"valid/loss": vloss})

@@ -89,6 +89,53 @@ def test_train_step_parity_device_vs_host(store):
         tr._build_step()
         hb = tr._draw("train", 0, 2)
         batch = tr._device_batch(hb)
-        metrics = tr._valid_fn(st["params"], batch)
+        cf = tr.corpus.flat if tr.corpus is not None else None
+        metrics = tr._valid_fn(st["params"], batch, cf)
         losses[device] = float(metrics["loss"])
     assert abs(losses[True] - losses[False]) < 1e-3, losses
+
+
+def test_corpus_is_jit_parameter_not_constant(store):
+    """Regression for the tunnel HTTP-413 failure: the HBM-resident corpus
+    must enter the compiled train step as a PARAMETER.  A closure-captured
+    device array is constant-folded into the lowered HLO, which bloats every
+    compile by the corpus size and overflows the axon remote_compile request
+    body at production corpus sizes (observed at ~330 MB / 500 speakers)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from amss_tpu.configs.recipes import c1_stft_dpcl
+    from amss_tpu.train.engine import Trainer
+
+    r = c1_stft_dpcl()
+    r = dataclasses.replace(
+        r,
+        model=dataclasses.replace(
+            r.model,
+            sep=dataclasses.replace(r.model.sep, hidden=16, layers=1, embed_dim=4),
+        ),
+        train=dataclasses.replace(
+            r.train, batch_size=2, chunk_samples=2048, steps=1,
+            valid_every=10**9, device_data=True,
+        ),
+    )
+    tr = Trainer(r, store, workdir="/tmp/devdata_runs")
+    st = tr.init_state()
+    tr._build_step()
+    batch = tr._device_batch(tr._draw("train", 0, 2))
+    lowered = tr._step_fn.lower(
+        st["params"], st["opt_state"], batch, tr.corpus.flat,
+        jnp.float32(1.0), jnp.int32(0),
+    )
+    text = lowered.as_text()  # StableHLO MLIR
+    size = tr.corpus.flat.size
+    corpus_lines = [l for l in text.splitlines() if f"tensor<{size}xi16>" in l]
+    assert corpus_lines, "corpus-shaped value missing from lowered module"
+    assert all("constant" not in l for l in corpus_lines), (
+        "corpus was constant-folded into the program"
+    )
+    # The corpus must appear in the entry signature (an %argN of main), i.e.
+    # the compile payload carries its SHAPE, not its data.
+    assert any("%arg" in l and "func.func" in l for l in corpus_lines), corpus_lines[:2]
