@@ -364,7 +364,42 @@ def stage_3spk3():
               evals=(("v2test3", V2),), n=64)
 
 
+def stage_resume():
+    """`resume <run_dir> <corpus> <stage_name> [eval_corpus] [n]` — restore
+    ckpt_latest from a run dir whose training was killed mid-flight (tunnel
+    outage) and continue fit() to the configured steps; the stateless
+    (seed, step) Mixer makes the continuation bit-exact with an uninterrupted
+    run.  Then the usual blind eval."""
+    import json as _json
+
+    from amss_tpu.data.store import SpeakerStore
+    from amss_tpu.train.engine import Trainer
+    from amss_tpu.utils.config import recipe_from_dict
+
+    run_dir, corpus, name = sys.argv[2], sys.argv[3], sys.argv[4]
+    ecorp = sys.argv[5] if len(sys.argv) > 5 else V2
+    n = int(sys.argv[6]) if len(sys.argv) > 6 else 64
+    with open(os.path.join(run_dir, "config.json")) as f:
+        recipe = recipe_from_dict(_json.load(f))
+    tr = Trainer(recipe, SpeakerStore(corpus),
+                 workdir=os.path.dirname(run_dir) or "runs_r3")
+    assert tr.dir == run_dir, f"config hash moved: {tr.dir} != {run_dir}"
+    state = tr.restore()
+    start_step = state["step"]
+    print(f"resuming {run_dir} from step {start_step}", flush=True)
+    t0 = time.time()
+    state = tr.fit(state)
+    out = blind_eval(tr.model, state["params"], ecorp, n=n)
+    out.update(stage=f"{name}_v2test3" if recipe.model.nb_speakers == 3
+               else f"{name}_v2test",
+               steps=recipe.train.steps,
+               train_seconds=round(time.time() - t0, 1), run_dir=tr.dir,
+               resumed_from=start_step)
+    log_result(out)
+
+
 STAGES = {
+    "resume": stage_resume,
     "c6_3spk": stage_c6_3spk,
     "c7v2b": stage_c7v2b,
     "3spk3": stage_3spk3,
