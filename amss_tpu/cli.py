@@ -288,6 +288,21 @@ def cmd_profile(args):
 
 
 def main(argv=None):
+    # --platform must act BEFORE any jax dispatch: the axon sitecustomize
+    # force-sets jax_platforms="axon,cpu" at interpreter start, and a dead
+    # TPU tunnel then hangs every CLI command with no user-facing escape
+    # (observed: a tunnel outage left `train` blocked at 0% CPU).  The env
+    # var alone cannot override the sitecustomize, so this is the only
+    # reliable CPU fallback switch.
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if "--platform" in argv:
+        i = argv.index("--platform")
+        platform = argv[i + 1]
+        del argv[i : i + 2]
+        if platform != "default":
+            import jax
+
+            jax.config.update("jax_platforms", platform)
     try:  # persistent XLA cache: tunnel compiles cost minutes (utils/cache.py)
         from amss_tpu.utils.cache import enable_compilation_cache
 
@@ -295,6 +310,12 @@ def main(argv=None):
     except Exception:
         pass
     ap = argparse.ArgumentParser(prog="amss_tpu")
+    # Handled (and stripped) above, before jax initializes; registered here
+    # only so --help documents it.  Works in any argv position.
+    ap.add_argument("--platform", choices=["axon", "cpu", "default"],
+                    default="default",
+                    help="jax platform override; 'cpu' runs the CLI without "
+                         "the TPU (e.g. during a tunnel outage)")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     p = sub.add_parser("make-synthetic")

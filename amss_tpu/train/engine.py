@@ -276,6 +276,43 @@ class Trainer:
         with open(os.path.join(self.dir, "config.json"), "w") as f:
             json.dump(recipe_to_dict(self.recipe), f, indent=1)
 
+    def _compile_step(self, state: dict, batch0: dict) -> None:
+        """AOT-compile the train step at the real shapes (no execution, no
+        donation).  Separate so the device-data probe's failure path can be
+        exercised in tests."""
+        self._step_fn.lower(
+            state["params"], state["opt_state"], batch0, self.corpus.flat,
+            jnp.float32(1.0), jnp.int32(0),
+        ).compile()
+
+    def _probe_device_data(self, state: dict) -> None:
+        """AOT-compile the device-data step BEFORE training consumes donated
+        buffers; on a tunnel payload rejection (HTTP 413 — the axon terminal
+        bounds the compile-request body, and requests have been observed to
+        scale with the resident corpus at ~350 MB), fall back to the host
+        int16-wire input path with a warning instead of dying mid-run."""
+        import warnings
+
+        local_bs = self.recipe.train.batch_size // jax.process_count()
+        batch0 = self._device_batch(
+            self._draw("train", 0, local_bs, host=jax.process_index())
+        )
+        try:
+            self._compile_step(state, batch0)
+        except Exception as e:  # noqa: BLE001 — runtime error class varies
+            msg = str(e)
+            if "413" not in msg and "length limit" not in msg:
+                raise
+            warnings.warn(
+                "device_data corpus exceeds the tunnel compile-payload limit "
+                f"({msg[:120]}); falling back to host int16-wire input",
+                stacklevel=2,
+            )
+            self.corpus = None
+            self._step_fn = None
+            self._valid_fn = None
+            self._build_step()
+
     # -- fit loop -------------------------------------------------------------
     def fit(self, state: dict | None = None, log_every: int = 50) -> dict:
         r = self.recipe.train
@@ -284,6 +321,8 @@ class Trainer:
             state = self.init_state()
         if self._step_fn is None:
             self._build_step()
+        if self.corpus is not None:
+            self._probe_device_data(state)
         params, opt_state = state["params"], state["opt_state"]
         start = state["step"]
         t0 = time.time()

@@ -24,14 +24,20 @@ import numpy as np
 from amss_tpu.data.device_corpus import _upload_slabbed
 
 
-def try_size(mbytes: int) -> str:
+def try_size(mbytes: int, sharded: bool = True) -> str:
     n = (mbytes << 20) // 2  # int16
     host = np.zeros(n, np.int16)
+    sharding = None
+    if sharded:  # mirror the engine path exactly (replicated NamedSharding)
+        from amss_tpu.parallel.mesh import make_mesh, replicated_sharding
+
+        sharding = replicated_sharding(make_mesh())
     t0 = time.time()
     try:
-        flat = _upload_slabbed(host)
+        flat = _upload_slabbed(host, sharding)
+        _ = np.asarray(flat[:4])  # sync: surface any async upload error HERE
     except Exception as e:  # noqa: BLE001
-        return f"UPLOAD FAIL: {type(e).__name__}: {e}"
+        return f"UPLOAD FAIL: {type(e).__name__}: {str(e)[:200]}"
     up = time.time() - t0
 
     # Fresh function object per size so the jit cache never reuses an

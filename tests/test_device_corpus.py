@@ -139,3 +139,75 @@ def test_corpus_is_jit_parameter_not_constant(store):
     # The corpus must appear in the entry signature (an %argN of main), i.e.
     # the compile payload carries its SHAPE, not its data.
     assert any("%arg" in l and "func.func" in l for l in corpus_lines), corpus_lines[:2]
+
+
+def test_413_fallback_to_host_input(store):
+    """If the tunnel rejects the device-data step's compile payload (HTTP 413
+    at production corpus sizes), fit() must warn and fall back to the host
+    int16-wire input path BEFORE any donated buffer is consumed — not die
+    ten minutes into a run."""
+    import warnings
+
+    import jax
+
+    from amss_tpu.configs.recipes import c1_stft_dpcl
+    from amss_tpu.train.engine import Trainer
+
+    r = c1_stft_dpcl()
+    r = dataclasses.replace(
+        r,
+        model=dataclasses.replace(
+            r.model,
+            sep=dataclasses.replace(r.model.sep, hidden=16, layers=1, embed_dim=4),
+        ),
+        train=dataclasses.replace(
+            r.train, batch_size=2, chunk_samples=2048, steps=2,
+            valid_every=10**9, device_data=True,
+        ),
+    )
+    tr = Trainer(r, store, workdir="/tmp/devdata_runs_413")
+
+    def fake_compile(state, batch0):
+        raise jax.errors.JaxRuntimeError(
+            "INTERNAL: http://127.0.0.1:8113/remote_compile: HTTP 413: "
+            "Failed to buffer the request body: length limit exceeded"
+        )
+
+    tr._compile_step = fake_compile
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        state = tr.fit()
+    assert tr.corpus is None, "fallback did not disable device-data mode"
+    assert state["step"] == 2
+    assert any("falling back to host" in str(w.message) for w in caught), [
+        str(w.message) for w in caught
+    ]
+
+
+def test_probe_reraises_other_errors(store):
+    """Non-413 compile failures must propagate unchanged."""
+    import jax
+
+    from amss_tpu.configs.recipes import c1_stft_dpcl
+    from amss_tpu.train.engine import Trainer
+
+    r = c1_stft_dpcl()
+    r = dataclasses.replace(
+        r,
+        model=dataclasses.replace(
+            r.model,
+            sep=dataclasses.replace(r.model.sep, hidden=16, layers=1, embed_dim=4),
+        ),
+        train=dataclasses.replace(
+            r.train, batch_size=2, chunk_samples=2048, steps=1,
+            valid_every=10**9, device_data=True,
+        ),
+    )
+    tr = Trainer(r, store, workdir="/tmp/devdata_runs_413b")
+
+    def fake_compile(state, batch0):
+        raise jax.errors.JaxRuntimeError("INTERNAL: some other failure")
+
+    tr._compile_step = fake_compile
+    with pytest.raises(jax.errors.JaxRuntimeError, match="other failure"):
+        tr.fit()
