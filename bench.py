@@ -82,7 +82,46 @@ def _mix_pairs(n: int, t: int, seed0: int = 9000):
     return mixes, refs
 
 
+def _tunnel_preflight(timeout_s: float = 240.0) -> str | None:
+    """A dead axon tunnel makes every jitted call block forever at 0% CPU
+    (observed: >1 h outage mid-round), which would hang this benchmark and
+    record nothing.  Probe a trivial dispatch in a SUBPROCESS (a hung in-
+    process call cannot be cancelled) and return an error string if the
+    device is unreachable, so the driver still gets its one JSON line."""
+    import subprocess
+
+    code = (
+        "import jax, numpy as np, jax.numpy as jnp;"
+        "np.asarray(jax.jit(lambda x: x + 1.0)(jnp.zeros(4, jnp.float32)))"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code], timeout=timeout_s,
+            capture_output=True, text=True,
+        )
+    except subprocess.TimeoutExpired:
+        return f"device preflight timed out after {timeout_s:.0f}s (tunnel down?)"
+    if r.returncode != 0:
+        return f"device preflight failed rc={r.returncode}: {r.stderr[-160:]}"
+    return None
+
+
 def main():
+    err = _tunnel_preflight()
+    if err is not None:
+        print(
+            json.dumps(
+                {
+                    "metric": "e2e_streaming_separation_rtf_8s",
+                    "value": None,
+                    "unit": "rtf_per_chip",
+                    "vs_baseline": None,
+                    "error": err,
+                }
+            )
+        )
+        return
+
     from amss_tpu.utils.cache import enable_compilation_cache
 
     try:  # amortize the ~minutes-long tunnel compiles across bench runs

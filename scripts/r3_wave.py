@@ -293,14 +293,21 @@ def stage_input_ab():
 
     from amss_tpu.configs.recipes import c6_tasnet
 
+    corpus = sys.argv[2] if len(sys.argv) > 2 else V2MAX
+    steps = int(sys.argv[3]) if len(sys.argv) > 3 else 400
     for dev in (False, True):
-        r = sized(c6_tasnet(), 220, expansion=4)
-        r = dc.replace(r, train=dc.replace(r.train, device_data=dev))
-        tr, state, secs = train(r, V2MAX)
+        r = sized(c6_tasnet(), steps, expansion=4)
+        # valid/ckpt pauses dominate short runs (valid_every=steps//10 read
+        # 0.67 steps/s where the long c7v2b run read 12) — disable them so
+        # the A/B isolates the input path.
+        r = dc.replace(r, train=dc.replace(r.train, device_data=dev,
+                                           valid_every=10**9))
+        tr, state, secs = train(r, corpus)
         rows = [json.loads(l) for l in open(os.path.join(tr.dir, "metrics.jsonl"))]
         walls = [x["train/steps_per_sec"] for x in rows if "train/steps_per_sec" in x]
         log_result({
             "stage": f"input_ab_device_data_{dev}",
+            "corpus": corpus,
             "train_seconds_total": secs,
             "train_steps_per_sec_tail": walls[-3:],
         })
