@@ -68,3 +68,18 @@ def test_cli_dress_rehearsal(wav_tree, tmp_path, capsys):
           "--wav", mix_wav, "--out", sep_dir])
     wavs = sorted(os.listdir(sep_dir))
     assert wavs == ["mix_spk0.wav", "mix_spk1.wav"]
+
+
+def test_module_entry_point():
+    """`python -m amss_tpu` is the package's front door (same main as
+    `python -m amss_tpu.cli` / the amss-tpu script)."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "-m", "amss_tpu", "--help"],
+        capture_output=True, text=True, timeout=240,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert r.returncode == 0
+    assert "train" in r.stdout and "evaluate" in r.stdout
