@@ -39,7 +39,8 @@ def _add_train_overrides(p: argparse.ArgumentParser):
     p.add_argument("--layers", type=int)
     p.add_argument("--embed-dim", type=int)
     p.add_argument("--compute-dtype", choices=["float32", "bfloat16"])
-    p.add_argument("--trunk", choices=["blstm", "dprnn", "tcn"])
+    p.add_argument("--trunk", choices=["blstm", "dprnn", "tcn", "dpt"])
+    p.add_argument("--heads", type=int, help="dpt attention heads")
     p.add_argument("--blocks", type=int,
                    help="dprnn dual-path block count / tcn blocks per repeat")
     p.add_argument("--repeats", type=int, help="tcn dilation-ladder repeats")
@@ -101,6 +102,7 @@ def _build_recipe(args, store):
             "kernel": getattr(args, "kernel", None),
             "expansion": getattr(args, "expansion", None),
             "chunk_frames": getattr(args, "chunk_frames", None),
+            "heads": getattr(args, "heads", None),
             "dropout": getattr(args, "dropout", None),
             "feature_norm": getattr(args, "feature_norm", None),
             "causal": getattr(args, "causal", None),

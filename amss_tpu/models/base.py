@@ -38,7 +38,7 @@ class SeparatorBase:
     def trunk_dim(self) -> int:
         """Width of the trunk's output features (what head projections see)."""
         c = self.cfg.sep
-        return c.hidden if c.trunk in ("dprnn", "tcn") else 2 * c.hidden
+        return c.hidden if c.trunk in ("dprnn", "tcn", "dpt") else 2 * c.hidden
 
     def init_trunk(self, key) -> dict:
         c = self.cfg
@@ -54,6 +54,23 @@ class SeparatorBase:
                     blocks=c.sep.blocks,
                     repeats=c.sep.repeats,
                     kernel=c.sep.kernel,
+                )
+            }
+        if c.sep.trunk == "dpt":
+            from amss_tpu.models.dptransformer import init_dpt
+
+            if c.sep.hidden % c.sep.heads:
+                raise ValueError(
+                    f"sep.hidden={c.sep.hidden} not divisible by "
+                    f"heads={c.sep.heads}"
+                )
+            return {
+                "dpt": init_dpt(
+                    key,
+                    c.front.feature_dim,
+                    d_model=c.sep.hidden,
+                    ffn_dim=c.sep.expansion * c.sep.hidden,
+                    blocks=c.sep.blocks,
                 )
             }
         if c.sep.trunk == "dprnn":
@@ -108,6 +125,20 @@ class SeparatorBase:
                 rng=rng,
                 causal=self.cfg.sep.causal,
             )  # [B, T', bottleneck]
+        if "dpt" in sep_params:
+            from amss_tpu.models.dptransformer import dpt_stack
+
+            return dpt_stack(
+                sep_params["dpt"],
+                h,
+                mask=frame_mask,
+                chunk_frames=self.cfg.sep.chunk_frames,
+                heads=self.cfg.sep.heads,
+                compute_dtype=self._compute_dtype(),
+                remat=self.cfg.sep.remat,
+                dropout_rate=self.cfg.sep.dropout,
+                rng=rng,
+            )  # [B, T', D]
         if "dprnn" in sep_params:
             from amss_tpu.models.dprnn import dprnn_stack
 

@@ -54,9 +54,12 @@ class SeparatorConfig:
     # lever once a flat BLSTM saturates; also far fewer sequential scan steps
     # on TPU: 2*chunk_frames per block instead of T').
     # "tcn" (Conv-TasNet-style dilated depthwise-separable conv stack — zero
-    # sequential steps; the most MXU-friendly trunk, models/tcn.py).
+    # sequential steps; the most MXU-friendly trunk, models/tcn.py), or
+    # "dpt" (SepFormer-style dual-path transformer — intra/inter-chunk
+    # self-attention, zero sequential steps, models/dptransformer.py).
     trunk: str = "blstm"
-    chunk_frames: int = 16  # dprnn intra-chunk length K (frames)
+    chunk_frames: int = 16  # dprnn/dpt intra-chunk length K (frames)
+    heads: int = 4  # dpt: attention heads (must divide hidden)
     blocks: int = 6  # dprnn dual-path block count / tcn blocks per repeat
     repeats: int = 2  # tcn: repeats of the dilation ladder
     kernel: int = 3  # tcn: depthwise conv kernel width P
