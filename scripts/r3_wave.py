@@ -405,7 +405,24 @@ def stage_resume():
     log_result(out)
 
 
+def stage_dpt_probe():
+    """First chip training of the dual-path-transformer trunk (sep.trunk=
+    'dpt', models/dptransformer.py): c6 waveform-PIT arch with the TCN trunk
+    swapped for intra/inter-chunk attention, 8k steps on the 500-spk corpus
+    — a calibration probe (the TCN flagship reads ~9.4 at 16k steps, ~8 at
+    8k-step scale), not a tuned flagship.  `dpt_probe [steps]`."""
+    from amss_tpu.configs.recipes import c6_tasnet
+
+    steps = int(sys.argv[sys.argv.index("dpt_probe") + 1]) \
+        if len(sys.argv) > sys.argv.index("dpt_probe") + 1 else 8000
+    r = sized(c6_tasnet(), steps, trunk="dpt", hidden=192, blocks=6,
+              chunk_frames=32, heads=4, expansion=4, dropout=0.1)
+    run_stage(f"dpt_probe_{steps // 1000}k", r, V2MAX,
+              evals=(("v2test", V2),), n=64)
+
+
 STAGES = {
+    "dpt_probe": stage_dpt_probe,
     "resume": stage_resume,
     "c6_3spk": stage_c6_3spk,
     "c7v2b": stage_c7v2b,
