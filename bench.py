@@ -324,6 +324,25 @@ def main():
     except Exception as e:
         out["realtime_rtf_error"] = repr(e)[:160]
 
+    # Regression tripwire: compare against the newest recorded driver run
+    # (BENCH_r*.json) so a swing in the one driver-captured perf number is
+    # flagged IN the json instead of discovered a round later (the r1->r2
+    # 3.6x swing went unnoticed because nothing compared runs).
+    try:
+        import glob
+
+        prevs = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")))
+        for path in reversed(prevs):
+            rec = json.load(open(path))
+            prev = rec.get("parsed", rec)  # driver wraps the line in "parsed"
+            if prev.get("value"):
+                out["prev_bench"] = os.path.basename(path)
+                out["prev_rtf"] = prev["value"]
+                out["rtf_vs_prev"] = round(rtf / prev["value"], 3)
+                break
+    except Exception as e:
+        out["prev_bench_error"] = repr(e)[:120]
+
     print(
         json.dumps(
             {
