@@ -211,3 +211,35 @@ def test_realtime_exact_with_expansion_4():
     rt = RealtimeSeparator(model, params, chunk_samples=1024)
     streamed = rt.separate_stream(wave)
     np.testing.assert_allclose(streamed, offline, rtol=1e-4, atol=1e-5)
+
+
+def test_multi_stream_ragged_end_frames():
+    """Streams in one batch may carry different utterance lengths: end_frame
+    is per-stream ([B] int32), so each slot's decode masking cuts off at its
+    own utterance end and matches that stream's offline separation."""
+    cfg = _tiny_c7()
+    model = make_model(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    lens = [4000, 2500]
+    waves = [
+        np.asarray(jax.random.normal(jax.random.PRNGKey(20 + i), (t,)) * 0.3,
+                   np.float32)
+        for i, t in enumerate(lens)
+    ]
+    offline = [np.asarray(model.separate(params, jnp.asarray(w[None])))[0]
+               for w in waves]
+
+    rt = RealtimeSeparator(model, params, chunk_samples=1024, n_streams=2)
+    t_max = max(lens)
+    n_chunks, _ = rt._plan(t_max)
+    padded = np.zeros((2, n_chunks * rt.c), np.float32)
+    for i, w in enumerate(waves):
+        padded[i, : lens[i]] = w
+    nf = np.asarray([model.cfg.front.frames_for(t) for t in lens], np.int32)
+    outs = [rt.push(padded[:, k * rt.c : (k + 1) * rt.c], end_frame=nf)
+            for k in range(n_chunks)]
+    full = np.concatenate(outs, axis=-1)  # [2, S, n*c], lags by rt.lag
+    for i, t in enumerate(lens):
+        np.testing.assert_allclose(
+            full[i, :, rt.lag : rt.lag + t], offline[i], rtol=1e-4, atol=1e-5
+        )
