@@ -329,7 +329,9 @@ class RealtimeSeparator:
         """Whole-utterance convenience (n_streams == 1): stream `wave`
         through push() and return [S, len(wave)] — exactly model.separate's
         output.  Resets any previous stream state first."""
-        assert self.b == 1, "separate_stream serves one stream; see n_streams"
+        if self.b != 1:
+            raise ValueError("separate_stream serves one stream; use "
+                             "separate_streams for n_streams > 1")
         self.reset()
         t = len(wave)
         n_chunks, nf = self._plan(t)
@@ -343,7 +345,8 @@ class RealtimeSeparator:
     def separate_stream_pipelined(self, wave: np.ndarray) -> np.ndarray:
         """separate_stream via push_async/flush: identical output, one extra
         chunk of latency, ~2x throughput through a high-latency tunnel."""
-        assert self.b == 1
+        if self.b != 1:
+            raise ValueError("separate_stream_pipelined serves one stream")
         self.reset()
         t = len(wave)
         n_chunks, nf = self._plan(t)
@@ -359,7 +362,11 @@ class RealtimeSeparator:
         """Batched whole-utterance path: waves [B, T] -> [B, S, T], all B
         streams advancing one chunk per push (the multi-stream serving
         pattern, round-trip cost amortized B ways)."""
-        assert waves.shape[0] == self.b
+        if waves.shape[0] != self.b:
+            raise ValueError(
+                f"separate_streams expects [{self.b}, T] waves "
+                f"(n_streams={self.b}), got {waves.shape}"
+            )
         self.reset()
         t = waves.shape[-1]
         n_chunks, nf = self._plan(t)
