@@ -67,16 +67,17 @@ def _tunnel_roundtrip_ms(n: int = 10) -> float:
     return 1000.0 * float(np.median(ts))
 
 
-def _mix_pairs(n: int, t: int, seed0: int = 9000):
+def _mix_pairs(n: int, t: int, seed0: int = 9000, s: int = 2):
     """Deterministic synthetic-speech test mixtures from speaker seeds far
     outside every training corpus's range (quality on trained weights)."""
     from amss_tpu.data.synthetic import synth_speaker_wave_v2
 
     mixes, refs = [], []
     for i in range(n):
-        a = synth_speaker_wave_v2(seed0 + 2 * i, n_samples=t)
-        b = synth_speaker_wave_v2(seed0 + 2 * i + 1, n_samples=t)
-        src = np.stack([a, b]).astype(np.float32)
+        src = np.stack([
+            synth_speaker_wave_v2(seed0 + s * i + j, n_samples=t)
+            for j in range(s)
+        ]).astype(np.float32)
         refs.append(src)
         mixes.append(src.sum(0))
     return mixes, refs
@@ -287,6 +288,35 @@ def main():
             out["flagship_si_sdri"] = round(q["si_sdri"], 3)
     except Exception as e:
         out["tasnet_error"] = repr(e)[:160]
+
+    # 3-speaker flagship quality on trained weights (checkpoints/c6_3spk):
+    # the BASELINE config-4 setting served by the waveform-PIT family.
+    try:
+        from amss_tpu.configs.recipes import c6_tasnet as _c6
+
+        def _c6_3spk():
+            import dataclasses as _dc
+
+            r = _c6()
+            return _dc.replace(r, model=_dc.replace(r.model, nb_speakers=3))
+
+        model3, params3, trained3 = _trained_or_init("c6_3spk", _c6_3spk)
+        if trained3:
+            from amss_tpu.infer.evaluate import evaluate_separation
+
+            qt = 16384
+            mixes3, refs3 = _mix_pairs(16, qt, s=3)
+            sep3 = StreamingSeparator(
+                model3, params3, sample_rate=SAMPLE_RATE,
+                buckets=BucketSpec(lengths=(qt,)),
+            )
+            est3 = sep3.separate_all(mixes3, max_batch=8)
+            q3 = evaluate_separation(
+                np.stack(est3), np.stack(refs3), np.stack(mixes3), bss=False
+            )
+            out["flagship3spk_si_sdri"] = round(q3["si_sdri"], 3)
+    except Exception as e:
+        out["flagship3spk_error"] = repr(e)[:160]
 
     # Causal low-latency streaming (c7) through the round-3 device-resident
     # RealtimeSeparator: per-push work is O(chunk) and state is donated on
