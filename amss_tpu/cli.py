@@ -42,12 +42,13 @@ def _add_train_overrides(p: argparse.ArgumentParser):
     p.add_argument("--trunk", choices=["blstm", "dprnn", "tcn", "dpt"])
     p.add_argument("--heads", type=int, help="dpt attention heads")
     p.add_argument("--blocks", type=int,
-                   help="dprnn dual-path block count / tcn blocks per repeat")
+                   help="dprnn/dpt dual-path block count / tcn blocks per repeat")
     p.add_argument("--repeats", type=int, help="tcn dilation-ladder repeats")
     p.add_argument("--kernel", type=int, help="tcn depthwise kernel width")
     p.add_argument("--expansion", type=int,
-                   help="tcn conv-channel expansion H = expansion * hidden")
-    p.add_argument("--chunk-frames", type=int, help="dprnn intra-chunk length K")
+                   help="tcn conv channels / dpt ffn dim = expansion * hidden")
+    p.add_argument("--chunk-frames", type=int,
+                   help="dprnn/dpt intra-chunk length K")
     p.add_argument("--dropout", type=float)
     p.add_argument("--feature-norm", choices=["global", "channel", "cumulative"])
     p.add_argument("--causal", action=argparse.BooleanOptionalAction, default=None,
@@ -311,6 +312,8 @@ def main(argv=None):
         enable_compilation_cache()
     except Exception:
         pass
+    from amss_tpu.configs.recipes import ALL_RECIPES
+
     ap = argparse.ArgumentParser(prog="amss_tpu")
     # Handled (and stripped) above, before jax initializes; registered here
     # only so --help documents it.  Works in any argv position.
@@ -338,7 +341,7 @@ def main(argv=None):
                      ("separate", cmd_separate), ("profile", cmd_profile)]:
         p = sub.add_parser(name)
         p.add_argument("--recipe", required=True,
-                       choices=["c1", "c2_pretrain", "c2", "c3", "c4", "c5", "c6", "enh"])
+                       choices=sorted(ALL_RECIPES))
         p.add_argument("--corpus", required=True)
         p.add_argument("--workdir", default="runs")
         p.add_argument("--pretrained-front")

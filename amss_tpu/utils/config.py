@@ -159,6 +159,16 @@ def recipe_from_dict(d: dict) -> RecipeConfig:
 
 def run_id(cfg: RecipeConfig) -> str:
     """Deterministic 12-hex id from the full config (reference's hyperparameter
-    -id/log-dir convention, SURVEY.md §5.6)."""
-    blob = json.dumps(_as_dict(cfg), sort_keys=True).encode()
+    -id/log-dir convention, SURVEY.md §5.6).
+
+    Hash stability across config-schema growth: fields added AFTER a run was
+    created must not move that run's id, or every existing run dir is
+    orphaned from resume/evaluate-by-recipe (this bit round 3 when
+    `SeparatorConfig.heads` landed).  Late-added fields are therefore
+    dropped from the hashed dict while they hold a value that cannot affect
+    the model they were added for (`heads` only shapes the 'dpt' trunk)."""
+    d = _as_dict(cfg)
+    if d["model"]["sep"].get("trunk") != "dpt":
+        d["model"]["sep"].pop("heads", None)
+    blob = json.dumps(d, sort_keys=True).encode()
     return hashlib.sha256(blob).hexdigest()[:12]

@@ -83,6 +83,23 @@ def _mix_pairs(n: int, t: int, seed0: int = 9000, s: int = 2):
     return mixes, refs
 
 
+def _trained_quality(model, params, s: int, n: int = 16, qt: int = 16384) -> float:
+    """SI-SDRi of a trained model on the deterministic far-seed synthetic
+    S-mix test batch — one quality protocol shared by every checkpoint."""
+    from amss_tpu.infer.evaluate import evaluate_separation
+    from amss_tpu.infer.streaming import BucketSpec, StreamingSeparator
+
+    mixes, refs = _mix_pairs(n, qt, s=s)
+    sep = StreamingSeparator(
+        model, params, sample_rate=SAMPLE_RATE, buckets=BucketSpec(lengths=(qt,))
+    )
+    est = sep.separate_all(mixes, max_batch=8)
+    q = evaluate_separation(
+        np.stack(est), np.stack(refs), np.stack(mixes), bss=False
+    )
+    return round(q["si_sdri"], 3)
+
+
 def _tunnel_preflight(timeout_s: float = 240.0) -> str | None:
     """A dead axon tunnel makes every jitted call block forever at 0% CPU
     (observed: >1 h outage mid-round), which would hang this benchmark and
@@ -273,48 +290,22 @@ def main():
             out["train_mfu_error"] = repr(e)[:120]
 
         if trained6:
-            from amss_tpu.infer.evaluate import evaluate_separation
-
-            qt = 16384
-            mixes, refs = _mix_pairs(16, qt)
-            sepq = StreamingSeparator(
-                model6, params6, sample_rate=SAMPLE_RATE,
-                buckets=BucketSpec(lengths=(qt,)),
-            )
-            estq = sepq.separate_all(mixes, max_batch=8)
-            q = evaluate_separation(
-                np.stack(estq), np.stack(refs), np.stack(mixes), bss=False
-            )
-            out["flagship_si_sdri"] = round(q["si_sdri"], 3)
+            out["flagship_si_sdri"] = _trained_quality(model6, params6, s=2)
     except Exception as e:
         out["tasnet_error"] = repr(e)[:160]
 
     # 3-speaker flagship quality on trained weights (checkpoints/c6_3spk):
     # the BASELINE config-4 setting served by the waveform-PIT family.
     try:
-        from amss_tpu.configs.recipes import c6_tasnet as _c6
+        import dataclasses as _dc
 
         def _c6_3spk():
-            import dataclasses as _dc
-
-            r = _c6()
+            r = c6_tasnet()
             return _dc.replace(r, model=_dc.replace(r.model, nb_speakers=3))
 
         model3, params3, trained3 = _trained_or_init("c6_3spk", _c6_3spk)
         if trained3:
-            from amss_tpu.infer.evaluate import evaluate_separation
-
-            qt = 16384
-            mixes3, refs3 = _mix_pairs(16, qt, s=3)
-            sep3 = StreamingSeparator(
-                model3, params3, sample_rate=SAMPLE_RATE,
-                buckets=BucketSpec(lengths=(qt,)),
-            )
-            est3 = sep3.separate_all(mixes3, max_batch=8)
-            q3 = evaluate_separation(
-                np.stack(est3), np.stack(refs3), np.stack(mixes3), bss=False
-            )
-            out["flagship3spk_si_sdri"] = round(q3["si_sdri"], 3)
+            out["flagship3spk_si_sdri"] = _trained_quality(model3, params3, s=3)
     except Exception as e:
         out["flagship3spk_error"] = repr(e)[:160]
 
@@ -358,20 +349,19 @@ def main():
     # (BENCH_r*.json) so a swing in the one driver-captured perf number is
     # flagged IN the json instead of discovered a round later (the r1->r2
     # 3.6x swing went unnoticed because nothing compared runs).
-    try:
-        import glob
+    import glob
 
-        prevs = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")))
-        for path in reversed(prevs):
+    for path in reversed(sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")))):
+        try:  # per record: a truncated/error newest file falls back to older
             rec = json.load(open(path))
-            prev = rec.get("parsed", rec)  # driver wraps the line in "parsed"
+            prev = rec.get("parsed") or rec  # driver wraps the line in "parsed"
             if prev.get("value"):
                 out["prev_bench"] = os.path.basename(path)
                 out["prev_rtf"] = prev["value"]
                 out["rtf_vs_prev"] = round(rtf / prev["value"], 3)
                 break
-    except Exception as e:
-        out["prev_bench_error"] = repr(e)[:120]
+        except Exception:
+            continue
 
     print(
         json.dumps(
