@@ -157,18 +157,27 @@ def recipe_from_dict(d: dict) -> RecipeConfig:
     )
 
 
-def run_id(cfg: RecipeConfig) -> str:
-    """Deterministic 12-hex id from the full config (reference's hyperparameter
-    -id/log-dir convention, SURVEY.md §5.6).
+def run_id_from_stored(d: dict) -> str:
+    """The run id of a config DICT in its stored (run-dir config.json) form.
 
-    Hash stability across config-schema growth: fields added AFTER a run was
-    created must not move that run's id, or every existing run dir is
-    orphaned from resume/evaluate-by-recipe (this bit round 3 when
-    `SeparatorConfig.heads` landed).  Late-added fields are therefore
-    dropped from the hashed dict while they hold a value that cannot affect
-    the model they were added for (`heads` only shapes the 'dpt' trunk)."""
-    d = _as_dict(cfg)
-    if d["model"]["sep"].get("trunk") != "dpt":
-        d["model"]["sep"].pop("heads", None)
+    This is the stable identity of an existing run dir: config.json is the
+    dict that was hashed when the dir was created, so hashing it as stored
+    reproduces the id across any later config-schema growth (rebuilding the
+    dataclass first would fill in fields that didn't exist then and move the
+    hash — this orphaned every pre-round-3 run dir once).
+
+    Fields added after a release additionally get an exclusion rule while
+    they cannot affect the model, so FRESH configs keep pre-growth ids too:
+    `heads` only shapes the 'dpt' trunk and is dropped otherwise."""
+    d = json.loads(json.dumps(d))  # deep copy, JSON-normalized
+    sep = d.get("model", {}).get("sep", {})
+    if sep.get("trunk") != "dpt":
+        sep.pop("heads", None)
     blob = json.dumps(d, sort_keys=True).encode()
     return hashlib.sha256(blob).hexdigest()[:12]
+
+
+def run_id(cfg: RecipeConfig) -> str:
+    """Deterministic 12-hex id from the full config (reference's hyperparameter
+    -id/log-dir convention, SURVEY.md §5.6)."""
+    return run_id_from_stored(_as_dict(cfg))

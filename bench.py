@@ -149,7 +149,6 @@ def main():
 
     from amss_tpu.configs.recipes import c1_stft_dpcl, c6_tasnet, c7_realtime
     from amss_tpu.infer.streaming import BucketSpec, StreamingSeparator
-    from amss_tpu.train.engine import make_model
 
     out = {}
     try:
@@ -157,9 +156,8 @@ def main():
     except Exception as e:
         out["tunnel_roundtrip_error"] = repr(e)[:120]
 
-    recipe = c1_stft_dpcl()
-    model = make_model(recipe.model)
-    params = model.init(jax.random.PRNGKey(0))
+    model, params, trained1 = _trained_or_init("c1_dpcl", c1_stft_dpcl)
+    out["headline_trained_weights"] = trained1
 
     seconds = 8.0
     batch = 8
