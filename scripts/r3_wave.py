@@ -421,7 +421,55 @@ def stage_dpt_probe():
               evals=(("v2test", V2),), n=64)
 
 
+def stage_c3_modern():
+    """Modernize the enrolled-L41 headline (round-1's +12.4 was n=32 on the
+    30-spk corpus): retrain c3 on the 100-spk corpus, evaluate the enrolled
+    path on n=200 train-speaker mixtures at unseen offsets WITH bootstrap
+    CIs, blind-eval the k-means path, and export the checkpoint.
+    `c3_modern [steps]`."""
+    import jax
+    import jax.numpy as jnp
+
+    from amss_tpu.configs.recipes import c3_l41
+    from amss_tpu.data.store import SpeakerStore
+    from amss_tpu.infer.evaluate import evaluate_separation
+
+    steps = int(sys.argv[sys.argv.index("c3_modern") + 1]) \
+        if len(sys.argv) > sys.argv.index("c3_modern") + 1 else 10000
+    store = SpeakerStore(V2BIG)
+    r = sized(c3_l41(n_train_speakers=len(store.speakers)), steps)
+    tr, state, secs = train(r, V2BIG)
+
+    # enrolled eval: train-split speakers at unseen chunk offsets
+    n = 200
+    mixes, refs, sids = [], [], []
+    for i in range(n):
+        hb = tr.mixer.batch("train", 10_000_000 + i, 1)
+        refs.append(hb.sources[0])
+        mixes.append(hb.sources[0].sum(0))
+        sids.append(hb.speaker_ids[0])
+    fn = jax.jit(lambda p, m, s: tr.model.separate(p, m, speaker_ids=s))
+    est = np.asarray(fn(state["params"], jnp.asarray(np.stack(mixes)),
+                        jnp.asarray(np.stack(sids))))
+    out = evaluate_separation(est, np.stack(refs), np.stack(mixes),
+                              per_utt=True)
+    out.update(stage=f"c3_modern_{steps // 1000}k_enrolled", steps=steps,
+               train_seconds=secs, run_dir=tr.dir)
+    log_result(out)
+
+    # blind eval (k-means over embeddings, disjoint test speakers)
+    outb = blind_eval(tr.model, state["params"], V2BIG, n=64)
+    outb.update(stage=f"c3_modern_{steps // 1000}k_blind", steps=steps,
+                run_dir=tr.dir)
+    log_result(outb)
+
+    from export_flagship import export
+
+    export(tr.dir, os.path.join(REPO, "checkpoints", "c3_l41"))
+
+
 STAGES = {
+    "c3_modern": stage_c3_modern,
     "dpt_probe": stage_dpt_probe,
     "resume": stage_resume,
     "c6_3spk": stage_c6_3spk,
