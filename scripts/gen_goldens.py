@@ -28,6 +28,15 @@ def tiny_model(recipe):
     return dataclasses.replace(recipe.model, sep=sep)
 
 
+def _with_sep(recipe, **kw):
+    return dataclasses.replace(
+        recipe,
+        model=dataclasses.replace(
+            recipe.model, sep=dataclasses.replace(recipe.model.sep, **kw)
+        ),
+    )
+
+
 def main():
     from amss_tpu.configs.recipes import (
         c1_stft_dpcl,
@@ -48,6 +57,9 @@ def main():
         ("c3", c3_l41(n_train_speakers=6)),
         ("c4", c4_chimera_3mix()),
         ("c6", c6_tasnet()),
+        # appended round 3 (order matters: each entry consumes rng draws)
+        ("c6_dpt", _with_sep(c6_tasnet(), trunk="dpt", chunk_frames=8,
+                             heads=4)),
     ]:
         model = make_model(tiny_model(recipe))
         params = model.init(jax.random.PRNGKey(7))

@@ -34,6 +34,14 @@ def _loss_for(name):
     )
     from amss_tpu.train.engine import make_model
 
+    def _with_sep(recipe, **kw):
+        return dataclasses.replace(
+            recipe,
+            model=dataclasses.replace(
+                recipe.model, sep=dataclasses.replace(recipe.model.sep, **kw)
+            ),
+        )
+
     recipes = {
         "c1": c1_stft_dpcl(),
         "c2_pretrain": c2_pretrain_adapt(),
@@ -41,6 +49,7 @@ def _loss_for(name):
         "c3": c3_l41(n_train_speakers=6),
         "c4": c4_chimera_3mix(),
         "c6": c6_tasnet(),
+        "c6_dpt": _with_sep(c6_tasnet(), trunk="dpt", chunk_frames=8, heads=4),
     }
     recipe = recipes[name]
     sep = dataclasses.replace(recipe.model.sep, hidden=16, layers=1, embed_dim=4)
@@ -48,7 +57,7 @@ def _loss_for(name):
     params = model.init(jax.random.PRNGKey(7))
     rng = np.random.default_rng(1234)
     # consume draws in the same order as gen_goldens.py
-    order = ["c1", "c2_pretrain", "c2", "c3", "c4", "c6"]
+    order = ["c1", "c2_pretrain", "c2", "c3", "c4", "c6", "c6_dpt"]
     loss = None
     for n in order:
         r = recipes[n]
@@ -64,7 +73,9 @@ def _loss_for(name):
     return loss
 
 
-@pytest.mark.parametrize("name", ["c1", "c2_pretrain", "c2", "c3", "c4", "c6"])
+@pytest.mark.parametrize(
+    "name", ["c1", "c2_pretrain", "c2", "c3", "c4", "c6", "c6_dpt"]
+)
 def test_golden(goldens, name, monkeypatch):
     monkeypatch.setenv("AMSS_PALLAS", "0")
     assert abs(_loss_for(name) - goldens[name]) <= 1e-4 * max(
