@@ -32,6 +32,15 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
+
+if os.environ.get("AMSS_BENCH_CPU_FALLBACK") == "1":
+    # The JAX_PLATFORMS env var alone does NOT stick here: the axon
+    # sitecustomize force-sets jax_platforms="axon,cpu" at interpreter start,
+    # so the re-exec'd fallback process would still dial the dead tunnel and
+    # hang at its first dispatch.  Override via jax.config before any device
+    # use (same pattern as tests/conftest.py and the CLI's --platform cpu).
+    jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 
 REPO = os.path.dirname(os.path.abspath(__file__))
@@ -124,21 +133,46 @@ def _tunnel_preflight(timeout_s: float = 240.0) -> str | None:
     return None
 
 
+def _wait_for_tunnel(total_s: float) -> str | None:
+    """Retry the preflight for up to ``total_s`` — the tunnel has been
+    observed to drop for >1 h mid-round and come back; a bench run that
+    lands inside a short outage should wait it out, not record nothing."""
+    deadline = time.monotonic() + total_s
+    err = _tunnel_preflight(timeout_s=60.0)
+    while err is not None and time.monotonic() < deadline:
+        time.sleep(30.0)
+        err = _tunnel_preflight(timeout_s=60.0)
+    return err
+
+
 def main():
-    err = _tunnel_preflight()
-    if err is not None:
-        print(
-            json.dumps(
-                {
-                    "metric": "e2e_streaming_separation_rtf_8s",
-                    "value": None,
-                    "unit": "rtf_per_chip",
-                    "vs_baseline": None,
-                    "error": err,
-                }
-            )
-        )
-        return
+    cpu_fallback = os.environ.get("AMSS_BENCH_CPU_FALLBACK") == "1"
+    if not cpu_fallback:
+        wait_s = float(os.environ.get("AMSS_BENCH_PREFLIGHT_WAIT_S", "600"))
+        err = _wait_for_tunnel(wait_s)
+        if err is not None:
+            # Device unreachable after waiting: re-exec on CPU so the driver
+            # still gets a MEASURED line (honestly flagged) instead of an
+            # error-only record.  AMSS_BENCH_NO_CPU_FALLBACK=1 restores the
+            # old fail-fast behavior.
+            if os.environ.get("AMSS_BENCH_NO_CPU_FALLBACK") == "1":
+                print(
+                    json.dumps(
+                        {
+                            "metric": "e2e_streaming_separation_rtf_8s",
+                            "value": None,
+                            "unit": "rtf_per_chip",
+                            "vs_baseline": None,
+                            "error": err,
+                        }
+                    )
+                )
+                return
+            env = dict(os.environ)
+            env["JAX_PLATFORMS"] = "cpu"
+            env["AMSS_BENCH_CPU_FALLBACK"] = "1"
+            env["AMSS_BENCH_TUNNEL_ERROR"] = err
+            os.execve(sys.executable, [sys.executable, __file__], env)
 
     from amss_tpu.utils.cache import enable_compilation_cache
 
@@ -151,6 +185,14 @@ def main():
     from amss_tpu.infer.streaming import BucketSpec, StreamingSeparator
 
     out = {}
+    if cpu_fallback:
+        # Honest degraded mode: the axon tunnel never came back, so this run
+        # measures the SAME pipeline on host CPU with a smaller workload.
+        # ``vs_baseline`` still compares against the TPU target — read it
+        # together with these flags, not as a chip regression.
+        out["cpu_fallback"] = True
+        out["platform"] = jax.devices()[0].platform
+        out["tunnel_error"] = os.environ.get("AMSS_BENCH_TUNNEL_ERROR", "")[:200]
     try:
         out["tunnel_roundtrip_ms"] = round(_tunnel_roundtrip_ms(), 3)
     except Exception as e:
@@ -161,7 +203,7 @@ def main():
 
     seconds = 8.0
     batch = 8
-    n_utts = 64
+    n_utts = 8 if cpu_fallback else 64
     t = int(seconds * SAMPLE_RATE)
     rng = np.random.default_rng(0)
     waves = [rng.standard_normal(t).astype(np.float32) * 0.3 for _ in range(n_utts)]
@@ -216,7 +258,7 @@ def main():
     try:
         model6, params6, trained6 = _trained_or_init("c6_flagship", c6_tasnet)
         out["flagship_trained_weights"] = trained6
-        for b in (8, 64):
+        for b in ((8,) if cpu_fallback else (8, 64)):
             sep6 = StreamingSeparator(
                 model6, params6, sample_rate=SAMPLE_RATE,
                 buckets=BucketSpec(lengths=(t,)),
@@ -241,7 +283,7 @@ def main():
                         jnp.zeros((b, t), jnp.float32),
                         jnp.ones((b, nf6), jnp.float32),
                     )
-                    m6 = mfu(f6 * (32 / b), sep6.meter.compute_seconds)
+                    m6 = mfu(f6 * (len(est6) / b), sep6.meter.compute_seconds)
                     out["tasnet_mfu_vs_v5e_peak"] = round(
                         m6["mfu_vs_v5e_peak"], 5
                     )
@@ -251,6 +293,8 @@ def main():
         # the tunnel is round-trip-bound, so the chip's real utilization story
         # is the train step (value_and_grad; optimizer update is negligible).
         try:
+            if cpu_fallback:
+                raise RuntimeError("skipped: cpu fallback")
             import jax.numpy as jnp
 
             from amss_tpu.utils.profiling import compiled_flops, mfu
@@ -288,7 +332,9 @@ def main():
             out["train_mfu_error"] = repr(e)[:120]
 
         if trained6:
-            out["flagship_si_sdri"] = _trained_quality(model6, params6, s=2)
+            out["flagship_si_sdri"] = _trained_quality(
+                model6, params6, s=2, n=4 if cpu_fallback else 16
+            )
     except Exception as e:
         out["tasnet_error"] = repr(e)[:160]
 
@@ -303,7 +349,9 @@ def main():
 
         model3, params3, trained3 = _trained_or_init("c6_3spk", _c6_3spk)
         if trained3:
-            out["flagship3spk_si_sdri"] = _trained_quality(model3, params3, s=3)
+            out["flagship3spk_si_sdri"] = _trained_quality(
+                model3, params3, s=3, n=4 if cpu_fallback else 16
+            )
     except Exception as e:
         out["flagship3spk_error"] = repr(e)[:160]
 
@@ -334,12 +382,16 @@ def main():
         out["realtime_rtf_pipelined"] = round(rt.rtf, 5)
         # 16 concurrent streams per push: the production serving shape —
         # the round trip amortizes 16 ways (per-STREAM rtf reported)
-        rt16 = RealtimeSeparator(model7, params7, chunk_samples=8192,
-                                 n_streams=16)
-        batch = np.stack([waves[i][:8192] for i in range(16)])
-        for _ in range(8):
-            rt16.push(batch)
-        out["realtime_rtf_16streams"] = round(rt16.rtf, 5)
+        if cpu_fallback:
+            out["realtime_rtf_16streams"] = None  # multi-stream sweep is a
+            # chip-amortization measurement; meaningless on 1-vCPU host
+        else:
+            rt16 = RealtimeSeparator(model7, params7, chunk_samples=8192,
+                                     n_streams=16)
+            batch = np.stack([waves[i][:8192] for i in range(16)])
+            for _ in range(8):
+                rt16.push(batch)
+            out["realtime_rtf_16streams"] = round(rt16.rtf, 5)
     except Exception as e:
         out["realtime_rtf_error"] = repr(e)[:160]
 
