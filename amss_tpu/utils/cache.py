@@ -14,8 +14,30 @@ import jax
 _DEFAULT = os.path.expanduser("~/.cache/amss_tpu_xla")
 
 
+def _host_tag() -> str:
+    """Per-host-CPU cache namespace.  XLA:CPU persists AOT executables whose
+    cache key does NOT cover host CPU features; a cache written on one VM and
+    read on another (observed across session restarts here) loads machine-
+    mismatched code with a SIGILL warning.  TPU programs are host-agnostic,
+    but the same cache dir also holds CPU entries, so namespace by a
+    fingerprint of the CPU flags."""
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha256(line.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    import platform
+
+    return platform.machine()
+
+
 def enable_compilation_cache(directory: str | None = None) -> str:
     d = directory or os.environ.get("AMSS_XLA_CACHE", _DEFAULT)
+    d = os.path.join(d, _host_tag())
     os.makedirs(d, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", d)
     # Cache everything, even fast compiles (the tunnel round-trip dominates).
