@@ -88,7 +88,10 @@ def load_model_from_run(run_dir: str):
     from amss_tpu.ckpt.checkpoint import _split_raw
 
     raw, _ = _split_raw(raw)
-    params = fser.from_state_dict(target["params"], fser.to_state_dict(raw["params"]))
+    # EMA runs serve the averaged weights (what validation ranked ckpt_best
+    # by); non-EMA checkpoints carry no ema_params and load unchanged.
+    src = raw.get("ema_params", raw["params"]) if isinstance(raw, dict) else raw
+    params = fser.from_state_dict(target["params"], fser.to_state_dict(src))
     return model, params
 
 
@@ -181,7 +184,12 @@ class Trainer:
             params = restore_subtree(
                 self.recipe.pretrained_front, params, keys=["front"], best=True
             )
-        return {"params": params, "opt_state": self.tx.init(params), "step": 0}
+        state = {"params": params, "opt_state": self.tx.init(params), "step": 0}
+        if self.recipe.train.ema_decay > 0.0:
+            # a COPY: params and ema_params are both donated by the step, and
+            # aliased buffers would be donated twice (runtime error)
+            state["ema_params"] = jax.tree_util.tree_map(jnp.array, params)
+        return state
 
     @staticmethod
     def _dequantize(batch: dict) -> dict:
@@ -196,19 +204,67 @@ class Trainer:
 
     def _build_step(self):
         model, tx = self.model, self.tx
-        seed = self.recipe.train.seed
+        t = self.recipe.train
+        seed, accum, ema_decay = t.seed, max(t.accum_steps, 1), t.ema_decay
+        if t.batch_size % accum != 0:
+            raise ValueError(
+                f"batch_size {t.batch_size} not divisible by accum_steps {accum}"
+            )
         prep = self._make_prep()
 
-        def step(params, opt_state, batch, corpus_flat, front_grad_scale, step_idx):
+        def grads_and_metrics(params, batch, rng):
+            def loss_fn(p):
+                return model.loss_from_batch(p, batch, rng=rng)
+
+            (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            return grads, metrics
+
+        def accumulated(params, batch, rng):
+            """Mean grads/metrics over ``accum`` microbatches via lax.scan —
+            O(batch/accum) activation memory inside one jit step.  Every loss
+            is a per-utterance mean, so this equals the full-batch step up to
+            fp summation order (tested in test_train_e2e.py)."""
+            if accum == 1:
+                return grads_and_metrics(params, batch, rng)
+            micro = jax.tree_util.tree_map(
+                lambda x: x.reshape((accum, x.shape[0] // accum) + x.shape[1:]),
+                batch,
+            )
+            mb0 = jax.tree_util.tree_map(lambda x: x[0], micro)
+            _, m_shape = jax.eval_shape(grads_and_metrics, params, mb0, rng)
+            zeros = (
+                jax.tree_util.tree_map(jnp.zeros_like, params),
+                jax.tree_util.tree_map(
+                    lambda s: jnp.zeros(s.shape, s.dtype), m_shape
+                ),
+            )
+
+            def body(carry, xs):
+                mb, i = xs
+                # distinct dropout key per microbatch (still f(seed, step, i))
+                g, m = grads_and_metrics(params, mb, jax.random.fold_in(rng, i))
+                gsum, msum = carry
+                add = lambda a, b: a + b  # noqa: E731
+                return (
+                    jax.tree_util.tree_map(add, gsum, g),
+                    jax.tree_util.tree_map(add, msum, m),
+                ), None
+
+            (gsum, msum), _ = jax.lax.scan(
+                body, zeros, (micro, jnp.arange(accum))
+            )
+            mean = lambda x: x / accum  # noqa: E731
+            return (
+                jax.tree_util.tree_map(mean, gsum),
+                jax.tree_util.tree_map(mean, msum),
+            )
+
+        def update(params, opt_state, batch, corpus_flat, front_grad_scale, step_idx):
             batch = prep(batch, corpus_flat)
             # Per-step dropout key, derived in-graph so resume stays bit-exact
             # (key = f(seed, step), no host RNG state to checkpoint).
             rng = jax.random.fold_in(jax.random.PRNGKey(seed), step_idx)
-
-            def loss_fn(p):
-                return model.loss_from_batch(p, batch, rng=rng)
-
-            (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            grads, metrics = accumulated(params, batch, rng)
             if "front" in grads:
                 grads = {
                     **grads,
@@ -223,12 +279,35 @@ class Trainer:
         rep = replicated_sharding(self.mesh)
         data = batch_sharding(self.mesh)
         cf_sh = rep if self.corpus is not None else None
-        self._step_fn = jax.jit(
-            step,
-            donate_argnums=(0, 1),
-            in_shardings=(rep, rep, data, cf_sh, None, None),
-            out_shardings=(rep, rep, rep),
-        )
+        if ema_decay > 0.0:
+            # EMA runs carry (and donate) the averaged params through the
+            # step; the signature only grows when the feature is on, so every
+            # existing caller/checkpoint sees the unchanged program.
+            def step(params, opt_state, ema_params, batch, corpus_flat,
+                     front_grad_scale, step_idx):
+                params, opt_state, metrics = update(
+                    params, opt_state, batch, corpus_flat,
+                    front_grad_scale, step_idx,
+                )
+                ema_params = jax.tree_util.tree_map(
+                    lambda e, p: ema_decay * e + (1.0 - ema_decay) * p,
+                    ema_params, params,
+                )
+                return params, opt_state, ema_params, metrics
+
+            self._step_fn = jax.jit(
+                step,
+                donate_argnums=(0, 1, 2),
+                in_shardings=(rep, rep, rep, data, cf_sh, None, None),
+                out_shardings=(rep, rep, rep, rep),
+            )
+        else:
+            self._step_fn = jax.jit(
+                update,
+                donate_argnums=(0, 1),
+                in_shardings=(rep, rep, data, cf_sh, None, None),
+                out_shardings=(rep, rep, rep),
+            )
 
         def valid(params, batch, corpus_flat):
             l, metrics = model.loss_from_batch(params, prep(batch, corpus_flat))
@@ -280,9 +359,11 @@ class Trainer:
         """AOT-compile the train step at the real shapes (no execution, no
         donation).  Separate so the device-data probe's failure path can be
         exercised in tests."""
+        args = (state["params"], state["opt_state"])
+        if "ema_params" in state:
+            args += (state["ema_params"],)
         self._step_fn.lower(
-            state["params"], state["opt_state"], batch0, self.corpus.flat,
-            jnp.float32(1.0), jnp.int32(0),
+            *args, batch0, self.corpus.flat, jnp.float32(1.0), jnp.int32(0)
         ).compile()
 
     def _probe_device_data(self, state: dict) -> None:
@@ -324,6 +405,14 @@ class Trainer:
         if self.corpus is not None:
             self._probe_device_data(state)
         params, opt_state = state["params"], state["opt_state"]
+        ema_on = r.ema_decay > 0.0
+        # resume-from-pre-EMA checkpoint: seed the average at current params
+        # (copied — params and ema_params are both donated, and aliased
+        # buffers would be donated twice)
+        ema_params = (
+            state.get("ema_params")
+            or jax.tree_util.tree_map(jnp.array, params)
+        ) if ema_on else None
         start = state["step"]
         t0 = time.time()
         from amss_tpu.data.prefetch import Prefetcher
@@ -347,9 +436,15 @@ class Trainer:
         corpus_flat = self.corpus.flat if self.corpus is not None else None
         for step, batch in batches:
             fscale = jnp.float32(0.0 if step < self.recipe.freeze_front_steps else 1.0)
-            params, opt_state, metrics = self._step_fn(
-                params, opt_state, batch, corpus_flat, fscale, jnp.int32(step)
-            )
+            if ema_on:
+                params, opt_state, ema_params, metrics = self._step_fn(
+                    params, opt_state, ema_params, batch, corpus_flat,
+                    fscale, jnp.int32(step),
+                )
+            else:
+                params, opt_state, metrics = self._step_fn(
+                    params, opt_state, batch, corpus_flat, fscale, jnp.int32(step)
+                )
 
             if (step + 1) % log_every == 0:
                 m = {k: float(v) for k, v in metrics.items()}
@@ -358,20 +453,23 @@ class Trainer:
                 self.writer.scalars(step + 1, {f"train/{k}": v for k, v in m.items()})
 
             if (step + 1) % r.valid_every == 0 or step + 1 == r.steps:
-                vloss = self._validate(params, step)
+                # EMA runs validate (and rank ckpt_best by) the averaged
+                # weights — those are the ones served downstream.
+                vloss = self._validate(ema_params if ema_on else params, step)
                 # Multi-host: params are replicated, so only process 0 writes —
                 # N hosts racing on the same ckpt path would be N redundant
                 # writes with last-writer-wins manifests.
                 if jax.process_index() == 0:
-                    self._ckpt.save(
-                        self.dir,
-                        {"params": params, "opt_state": opt_state, "step": step + 1},
-                        step=step + 1,
-                        metric=vloss,
-                    )
+                    ck = {"params": params, "opt_state": opt_state, "step": step + 1}
+                    if ema_on:
+                        ck["ema_params"] = ema_params
+                    self._ckpt.save(self.dir, ck, step=step + 1, metric=vloss)
         self._ckpt.wait()  # drain async checkpoint writes before returning
         self.writer.flush()
-        return {"params": params, "opt_state": opt_state, "step": r.steps}
+        out = {"params": params, "opt_state": opt_state, "step": r.steps}
+        if ema_on:
+            out["ema_params"] = ema_params
+        return out
 
     def _validate(self, params, step) -> float:
         r = self.recipe.train

@@ -120,6 +120,17 @@ class TrainConfig:
     # batches are (speaker, start, gain) plans gathered inside the jit step —
     # removes the host->HBM audio transfer that bounds step time.
     device_data: bool = False
+    # Gradient accumulation: split each batch into this many microbatches and
+    # lax.scan value_and_grad over them inside the one jit step (grads and
+    # metrics averaged) — large effective batches at O(batch/accum) activation
+    # memory.  Exactly equal to the unaccumulated step (tested), since every
+    # loss is a per-utterance mean.
+    accum_steps: int = 1
+    # Parameter EMA (Polyak averaging): 0.0 = off.  When on, the train step
+    # also carries ema_params (updated in-graph, donated); validation, the
+    # best-checkpoint metric, and downstream loading (load_model_from_run)
+    # use the EMA weights.
+    ema_decay: float = 0.0
 
 
 @dataclass(frozen=True)
@@ -173,6 +184,11 @@ def run_id_from_stored(d: dict) -> str:
     sep = d.get("model", {}).get("sep", {})
     if sep.get("trunk") != "dpt":
         sep.pop("heads", None)
+    tr = d.get("train", {})
+    if tr.get("accum_steps", 1) == 1:  # accum=1 is the identical pre-growth step
+        tr.pop("accum_steps", None)
+    if not tr.get("ema_decay", 0.0):  # 0.0 = EMA off, pre-growth behavior
+        tr.pop("ema_decay", None)
     blob = json.dumps(d, sort_keys=True).encode()
     return hashlib.sha256(blob).hexdigest()[:12]
 

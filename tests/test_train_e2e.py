@@ -61,3 +61,73 @@ def test_fit_reduces_loss_and_resumes(tmp_path):
     tr2 = Trainer(_tiny(), store, workdir=str(tmp_path / "runs2"))
     b2 = tr2.mixer.batch("train", 5, 2)
     np.testing.assert_array_equal(b1.sources, b2.sources)
+
+
+def test_grad_accum_equals_full_batch(tmp_path):
+    """accum_steps=2 computes the same update as the unaccumulated step (all
+    losses are per-utterance means, so mean-of-microbatch-grads == full-batch
+    grad up to fp summation order)."""
+    store = make_synthetic_corpus(
+        str(tmp_path / "corpus"), n_speakers=10, seconds_per_speaker=2.0
+    )
+    import jax.numpy as jnp
+    import optax
+
+    results = {}
+    for accum in (1, 2):
+        r = _tiny(steps=1)
+        r = dataclasses.replace(
+            r, train=dataclasses.replace(r.train, batch_size=4, accum_steps=accum)
+        )
+        tr = Trainer(r, store, workdir=str(tmp_path / f"runs{accum}"))
+        # SGD: params delta = -lr * grads, so the comparison reads the grads
+        # directly.  (One ADAM step from init is m̂/√v̂ ≈ sign(g) — it amplifies
+        # fp summation noise in near-zero grads unboundedly.)
+        tr.tx = optax.sgd(0.1)
+        state = tr.init_state()
+        tr._build_step()
+        batch = tr._device_batch(tr._draw("train", 0, 4))
+        p, o, m = tr._step_fn(
+            state["params"], state["opt_state"], batch, None,
+            jnp.float32(1.0), jnp.int32(0),
+        )
+        results[accum] = (p, {k: float(v) for k, v in m.items()})
+    p1, m1 = results[1]
+    p2, m2 = results[2]
+    for k in m1:
+        np.testing.assert_allclose(m1[k], m2[k], rtol=1e-5)
+    import jax
+
+    for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
+
+
+def test_ema_tracked_validated_and_served(tmp_path):
+    """ema_decay > 0: the state carries EMA params, they differ from the raw
+    params after training, checkpoint/restore preserves them, and
+    load_model_from_run serves the EMA weights."""
+    store = make_synthetic_corpus(
+        str(tmp_path / "corpus"), n_speakers=10, seconds_per_speaker=2.0
+    )
+    r = _tiny(steps=8)
+    r = dataclasses.replace(
+        r, train=dataclasses.replace(r.train, ema_decay=0.9, valid_every=4)
+    )
+    tr = Trainer(r, store, workdir=str(tmp_path / "runs"))
+    state = tr.fit()
+    assert "ema_params" in state
+    w = np.asarray(state["params"]["separator"]["proj"]["w"])
+    we = np.asarray(state["ema_params"]["separator"]["proj"]["w"])
+    assert not np.allclose(w, we)  # the average lags the raw weights
+
+    restored = tr.restore()
+    np.testing.assert_allclose(
+        np.asarray(restored["ema_params"]["separator"]["proj"]["w"]), we, atol=0
+    )
+
+    from amss_tpu.train.engine import load_model_from_run
+
+    _, served = load_model_from_run(tr.dir)
+    np.testing.assert_allclose(
+        np.asarray(served["separator"]["proj"]["w"]), we, atol=0
+    )
