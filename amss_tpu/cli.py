@@ -35,6 +35,11 @@ def _add_train_overrides(p: argparse.ArgumentParser):
     p.add_argument("--device-data", action="store_const", const=True, default=None,
                    help="HBM-resident corpus: per-step batches are tiny "
                         "(speaker, start, gain) plans gathered on device")
+    p.add_argument("--accum-steps", type=int,
+                   help="gradient accumulation microbatches per step")
+    p.add_argument("--ema-decay", type=float,
+                   help="parameter EMA decay (0 = off); EMA weights are "
+                        "validated, ranked for ckpt_best, and served")
     p.add_argument("--hidden", type=int)
     p.add_argument("--layers", type=int)
     p.add_argument("--embed-dim", type=int)
@@ -86,6 +91,8 @@ def _build_recipe(args, store):
             "valid_every": args.valid_every,
             "data_axis": args.data_axis,
             "device_data": getattr(args, "device_data", None),
+            "accum_steps": getattr(args, "accum_steps", None),
+            "ema_decay": getattr(args, "ema_decay", None),
         }.items()
         if v is not None
     }
@@ -257,6 +264,52 @@ def cmd_separate(args):
           f"(rtf={sep.meter.rtf:.4f})")
 
 
+def cmd_export(args):
+    """AOT-export the trained serving function (StableHLO + params) into a
+    self-contained directory runnable without model code (infer/export.py)."""
+    from amss_tpu.data.store import SpeakerStore
+    from amss_tpu.infer.export import export_serving
+    from amss_tpu.utils.config import recipe_to_dict
+
+    store = SpeakerStore(args.corpus)
+    model, params, recipe = _load_for_inference(args, store)
+    export_serving(
+        model,
+        params,
+        args.out,
+        lengths=tuple(args.lengths),
+        batch=args.serve_batch,
+        platforms=tuple(args.platforms),
+        sample_rate=recipe.sample_rate,
+        recipe_dict=recipe_to_dict(recipe),
+    )
+    sizes = {
+        f: os.path.getsize(os.path.join(args.out, f))
+        for f in sorted(os.listdir(args.out))
+    }
+    print(json.dumps({"export_dir": args.out, "files": sizes}))
+
+
+def cmd_separate_exported(args):
+    """Separate WAVs through an exported serving artifact — the deployment
+    path: no recipe, no corpus, no model classes."""
+    from amss_tpu.data.store import _read_wav
+    from amss_tpu.infer.evaluate import write_wav
+    from amss_tpu.infer.export import ServingArtifact
+
+    art = ServingArtifact(args.export_dir)
+    waves = [_read_wav(p)[0] for p in args.wav]
+    ests = art.separate_all(waves)
+    os.makedirs(args.out, exist_ok=True)
+    for path, est in zip(args.wav, ests):
+        base = os.path.splitext(os.path.basename(path))[0]
+        for s in range(est.shape[0]):
+            write_wav(os.path.join(args.out, f"{base}_spk{s}.wav"), est[s],
+                      art.sample_rate)
+    print(f"wrote {sum(e.shape[0] for e in ests)} wavs to {args.out} "
+          f"(rtf={art.meter.rtf:.4f})")
+
+
 def cmd_profile(args):
     """Trace N train steps with jax.profiler (Perfetto/TensorBoard-loadable)
     and print wall-clock step stats (SURVEY.md §5.1)."""
@@ -273,9 +326,10 @@ def cmd_profile(args):
     state = tr.init_state()
     tr._build_step()
     p, o = state["params"], state["opt_state"]
+    cf = tr.corpus.flat if tr.corpus is not None else None
     batch = tr._device_batch(tr._draw("train", 0, recipe.train.batch_size))
     # warm (compile outside the trace)
-    p, o, m = tr._step_fn(p, o, batch, jnp.float32(1.0), jnp.int32(0))
+    p, o, m = tr._step_fn(p, o, batch, cf, jnp.float32(1.0), jnp.int32(0))
     _ = {k: float(v) for k, v in m.items()}
 
     timer = StepTimer()
@@ -283,7 +337,7 @@ def cmd_profile(args):
         timer.start()
         for i in range(args.profile_steps):
             batch = tr._device_batch(tr._draw("train", i + 1, recipe.train.batch_size))
-            p, o, m = tr._step_fn(p, o, batch, jnp.float32(1.0), jnp.int32(i + 1))
+            p, o, m = tr._step_fn(p, o, batch, cf, jnp.float32(1.0), jnp.int32(i + 1))
             _ = {k: float(v) for k, v in m.items()}  # host fetch = sync
             timer.tick()
     stats = {k: round(v, 5) for k, v in timer.stats().items()}
@@ -338,7 +392,8 @@ def main(argv=None):
     p.set_defaults(fn=cmd_ingest)
 
     for name, fn in [("train", cmd_train), ("evaluate", cmd_evaluate),
-                     ("separate", cmd_separate), ("profile", cmd_profile)]:
+                     ("separate", cmd_separate), ("profile", cmd_profile),
+                     ("export", cmd_export)]:
         p = sub.add_parser(name)
         p.add_argument("--recipe", required=True,
                        choices=sorted(ALL_RECIPES))
@@ -357,7 +412,25 @@ def main(argv=None):
         if name == "profile":
             p.add_argument("--profile-steps", type=int, default=20)
             p.add_argument("--trace-dir", default="/tmp/amss_trace")
+        if name == "export":
+            p.add_argument("--out", required=True,
+                           help="serving-artifact output directory")
+            p.add_argument("--lengths", type=int, nargs="+",
+                           default=[16384, 65536],
+                           help="bucket lengths (samples) to AOT-compile")
+            p.add_argument("--serve-batch", type=int, default=8)
+            p.add_argument("--platforms", nargs="+", default=["cpu", "tpu"],
+                           help="jax.export lowering platforms")
         p.set_defaults(fn=fn)
+
+    p = sub.add_parser(
+        "separate-exported",
+        help="separate WAVs through an AOT serving artifact (no model code)",
+    )
+    p.add_argument("--export-dir", required=True)
+    p.add_argument("--wav", nargs="+", required=True)
+    p.add_argument("--out", default="separated")
+    p.set_defaults(fn=cmd_separate_exported)
 
     args = ap.parse_args(argv)
     args.fn(args)

@@ -1,0 +1,257 @@
+"""AOT serving export: deploy separation without model code or tracing.
+
+Beyond-reference capability.  The reference deployed by re-running its model-
+building Python and restoring a tf.train.Saver checkpoint into the rebuilt
+graph (SURVEY.md §3.4) — serving required the full training codebase.  A
+production TPU serving stack should not: here the jitted serving function is
+lowered ONCE to StableHLO via ``jax.export`` and serialized to disk next to a
+params-only blob, and any process with jax on a matching platform can run it —
+no model classes, no config reconstruction, no Python tracing, no recompiles
+beyond XLA's fast StableHLO->executable step.  Artifacts are exported for
+BOTH cpu and tpu lowering platforms by default, so the same directory serves
+on a dev host and on the chip.
+
+Artifact directory layout (``export_serving``):
+
+    export_meta.json      format/version, serving shapes, front config (for
+                          frame-mask construction), n_speakers, provenance
+    params.msgpack        params-only pytree (flax msgpack, host arrays)
+    serving_t{T}_b{B}.jaxexp
+                          serialized jax.export.Exported per (length, batch)
+                          bucket: fn(params, mix[B,T], frame_mask[B,T']) ->
+                          est[B,S,T]
+
+``ServingArtifact`` mirrors the bucketed batch-serving semantics of
+infer/streaming.py::StreamingSeparator (same padding + frame-mask convention,
+same RTF meter) so evaluation numbers carry over exactly; parity is pinned by
+tests/test_export.py, including a subprocess that separates through the
+artifact without importing any amss_tpu model module.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+_FORMAT_VERSION = 1
+
+
+def _host(tree):
+    import jax
+
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def export_serving(
+    model,
+    params,
+    out_dir: str,
+    *,
+    lengths: tuple[int, ...] = (16384, 65536),
+    batch: int = 8,
+    platforms: tuple[str, ...] = ("cpu", "tpu"),
+    sample_rate: int = 8000,
+    recipe_dict: dict | None = None,
+    separate_kwargs: dict | None = None,
+) -> str:
+    """Lower ``model.separate`` to StableHLO for each (length, batch) bucket
+    and write a self-contained serving directory.  Returns ``out_dir``.
+
+    ``model.separate`` must accept (params, mix [B,T], frame_mask [B,T']) —
+    the StreamingSeparator contract.  Params stay function INPUTS (stored
+    once in params.msgpack), so the .jaxexp files hold only the program.
+    """
+    import dataclasses
+
+    import flax.serialization as fser
+    import jax
+    from jax import export as jexport
+
+    kw = separate_kwargs or {}
+
+    # The exported function takes params in flax STATE-DICT form (dicts all
+    # the way down — lists become {"0": ...}): msgpack roundtrips that form
+    # losslessly, whereas the live pytree's list nodes (e.g. tcn "blocks")
+    # would deserialize with a different tree structure and be rejected by
+    # Exported.call.  from_state_dict only restructures (leaves pass through),
+    # so it traces cleanly inside the exported program.
+    def run(p_state, mix, frame_mask):
+        p = fser.from_state_dict(params, p_state)
+        return model.separate(p, mix, frame_mask=frame_mask, **kw)
+
+    os.makedirs(out_dir, exist_ok=True)
+    host_params = fser.to_state_dict(_host(params))
+    sds = jax.tree_util.tree_map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), host_params
+    )
+    front = model.cfg.front
+    buckets = []
+    for t in sorted(set(int(x) for x in lengths)):
+        nf = front.frames_for(t)
+        exp = jexport.export(jax.jit(run), platforms=tuple(platforms))(
+            sds,
+            jax.ShapeDtypeStruct((batch, t), np.float32),
+            jax.ShapeDtypeStruct((batch, nf), np.float32),
+        )
+        fname = f"serving_t{t}_b{batch}.jaxexp"
+        with open(os.path.join(out_dir, fname), "wb") as f:
+            f.write(exp.serialize())
+        buckets.append({"length": t, "frames": nf, "file": fname})
+
+    with open(os.path.join(out_dir, "params.msgpack"), "wb") as f:
+        f.write(fser.to_bytes(host_params))
+
+    meta = {
+        "format_version": _FORMAT_VERSION,
+        "jax_version": jax.__version__,
+        "platforms": list(platforms),
+        "batch": int(batch),
+        "n_speakers": int(model.cfg.nb_speakers),
+        "sample_rate": int(sample_rate),
+        "front": dataclasses.asdict(front),
+        "buckets": buckets,
+        "recipe": recipe_dict,
+    }
+    with open(os.path.join(out_dir, "export_meta.json"), "w") as f:
+        json.dump(meta, f, indent=1)
+    return out_dir
+
+
+class ServingArtifact:
+    """Run an exported serving directory — no model code, no tracing.
+
+    Usage::
+
+        art = ServingArtifact("/path/to/export")
+        outs = art.separate_all(list_of_waves)   # list of [S, T_orig]
+
+    Bucketing, zero-padding, and frame-mask semantics match
+    StreamingSeparator exactly (tested); groups are padded up to the exported
+    static batch with zero rows (AOT programs have fixed shapes).
+    """
+
+    def __init__(self, path: str):
+        from amss_tpu.infer.streaming import RTFMeter
+        from amss_tpu.utils.config import FrontConfig
+
+        self.path = path
+        with open(os.path.join(path, "export_meta.json")) as f:
+            self.meta = json.load(f)
+        if self.meta["format_version"] != _FORMAT_VERSION:
+            raise ValueError(
+                f"serving artifact at {path} has format_version "
+                f"{self.meta['format_version']}; this loader reads "
+                f"{_FORMAT_VERSION}"
+            )
+        import flax.serialization as fser
+
+        with open(os.path.join(path, "params.msgpack"), "rb") as f:
+            self.params = fser.msgpack_restore(f.read())
+        self.front = FrontConfig(**self.meta["front"])
+        self.batch = self.meta["batch"]
+        self.n_speakers = self.meta["n_speakers"]
+        self.sample_rate = self.meta["sample_rate"]
+        self.buckets = sorted(self.meta["buckets"], key=lambda b: b["length"])
+        self._fns: dict[int, object] = {}  # length -> Exported (lazy)
+        self.meter = RTFMeter()
+
+    def _bucket_for(self, n: int) -> dict:
+        for b in self.buckets:
+            if n <= b["length"]:
+                return b
+        raise ValueError(
+            f"utterance of {n} samples exceeds the largest exported bucket "
+            f"({self.buckets[-1]['length']}); re-export with a longer bucket "
+            "or serve long-form audio through infer/long.py with the model"
+        )
+
+    def _exported(self, bucket: dict):
+        """Deserialize + warm a bucket's program on zeros at first use, so
+        XLA's StableHLO->executable compile books as compile_seconds and the
+        RTF meter sees steady-state serving only (StreamingSeparator's
+        convention)."""
+        import time
+
+        from jax import export as jexport
+
+        t = bucket["length"]
+        if t not in self._fns:
+            with open(os.path.join(self.path, bucket["file"]), "rb") as f:
+                exp = jexport.deserialize(f.read())
+            t0 = time.perf_counter()
+            out = exp.call(
+                self.params,
+                np.zeros((self.batch, t), np.float32),
+                np.ones((self.batch, bucket["frames"]), np.float32),
+            )
+            np.asarray(out[0, 0, :4])  # host fetch = real sync through axon
+            self.meter.compile_seconds += time.perf_counter() - t0
+            self._fns[t] = exp
+        return self._fns[t]
+
+    def separate_batch(self, mix: np.ndarray, n_valid: np.ndarray | None = None):
+        """Separate one exact-shape batch [B, T] (T must be an exported
+        bucket, B the exported batch).  ``n_valid[j]`` = true sample count of
+        row j (for the frame mask); defaults to full length."""
+        b, t = mix.shape
+        bucket = self._bucket_for(t)
+        if t != bucket["length"] or b != self.batch:
+            raise ValueError(
+                f"exact-shape API: got {mix.shape}, exported shape is "
+                f"({self.batch}, {bucket['length']}) — use separate_all for "
+                "ragged inputs"
+            )
+        fmask = np.zeros((b, bucket["frames"]), np.float32)
+        for j in range(b):
+            nv = int(n_valid[j]) if n_valid is not None else t
+            fmask[j, : self.front.frames_for(nv)] = 1.0
+        exp = self._exported(bucket)
+        return np.asarray(
+            exp.call(self.params, mix.astype(np.float32), fmask)
+        )
+
+    def separate_all(self, waves: list[np.ndarray]) -> list[np.ndarray]:
+        """Separate variable-length utterances; returns [S, T_orig] per input
+        in order.  Mirrors StreamingSeparator.separate_all's bucketing."""
+        import time
+
+        results: list[np.ndarray | None] = [None] * len(waves)
+        order = sorted(range(len(waves)), key=lambda i: len(waves[i]))
+        group: list[int] = []
+        current = None
+
+        def flush(group):
+            if not group:
+                return
+            bucket = self._bucket_for(max(len(waves[i]) for i in group))
+            t = bucket["length"]
+            mix = np.zeros((self.batch, t), np.float32)
+            nv = np.zeros((self.batch,), np.int64)
+            for j, i in enumerate(group):
+                w = waves[i]
+                mix[j, : len(w)] = w
+                nv[j] = len(w)
+            exp = self._exported(bucket)  # lazy deserialize before timing
+            fmask = np.zeros((self.batch, bucket["frames"]), np.float32)
+            for j in range(len(group)):
+                fmask[j, : self.front.frames_for(int(nv[j]))] = 1.0
+            t0 = time.perf_counter()
+            est = np.asarray(exp.call(self.params, mix, fmask))
+            self.meter.compute_seconds += time.perf_counter() - t0
+            self.meter.calls += 1
+            for j, i in enumerate(group):
+                results[i] = est[j, :, : len(waves[i])]
+                self.meter.audio_seconds += len(waves[i]) / self.sample_rate
+                self.meter.utterances += 1
+
+        for i in order:
+            bkt = self._bucket_for(len(waves[i]))["length"]
+            if group and (bkt != current or len(group) >= self.batch):
+                flush(group)
+                group = []
+            current = bkt
+            group.append(i)
+        flush(group)
+        return results  # type: ignore

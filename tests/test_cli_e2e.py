@@ -69,6 +69,25 @@ def test_cli_dress_rehearsal(wav_tree, tmp_path, capsys):
     wavs = sorted(os.listdir(sep_dir))
     assert wavs == ["mix_spk0.wav", "mix_spk1.wav"]
 
+    # 5.1: profile train steps through the CLI (regression guard: the step
+    # fn's signature grew corpus_flat in round 3 and profile wasn't updated)
+    main(["profile", *common, "--workdir", workdir, "--profile-steps", "2",
+          "--trace-dir", str(tmp_path / "trace")])
+    pr = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert pr["n"] == 2 and np.isfinite(pr["p50_s"])
+
+    # deployment: AOT-export, then separate through the artifact — the
+    # no-model-code serving path (infer/export.py)
+    exp_dir = str(tmp_path / "exported")
+    main(["export", *common, "--run-dir", run_dir, "--out", exp_dir,
+          "--lengths", "8192", "--serve-batch", "2", "--platforms", "cpu"])
+    ej = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "serving_t8192_b2.jaxexp" in ej["files"]
+    sep2 = str(tmp_path / "sep_exp")
+    main(["separate-exported", "--export-dir", exp_dir,
+          "--wav", mix_wav, "--out", sep2])
+    assert sorted(os.listdir(sep2)) == ["mix_spk0.wav", "mix_spk1.wav"]
+
 
 def test_module_entry_point():
     """`python -m amss_tpu` is the package's front door (same main as
