@@ -273,16 +273,30 @@ def cmd_export(args):
 
     store = SpeakerStore(args.corpus)
     model, params, recipe = _load_for_inference(args, store)
-    export_serving(
-        model,
-        params,
-        args.out,
-        lengths=tuple(args.lengths),
-        batch=args.serve_batch,
-        platforms=tuple(args.platforms),
-        sample_rate=recipe.sample_rate,
-        recipe_dict=recipe_to_dict(recipe),
-    )
+    if args.realtime:
+        from amss_tpu.infer.export import export_realtime
+
+        export_realtime(
+            model,
+            params,
+            args.out,
+            chunk_samples=args.rt_chunk,
+            n_streams=args.rt_streams,
+            platforms=tuple(args.platforms),
+            sample_rate=recipe.sample_rate,
+            recipe_dict=recipe_to_dict(recipe),
+        )
+    else:
+        export_serving(
+            model,
+            params,
+            args.out,
+            lengths=tuple(args.lengths),
+            batch=args.serve_batch,
+            platforms=tuple(args.platforms),
+            sample_rate=recipe.sample_rate,
+            recipe_dict=recipe_to_dict(recipe),
+        )
     sizes = {
         f: os.path.getsize(os.path.join(args.out, f))
         for f in sorted(os.listdir(args.out))
@@ -295,11 +309,19 @@ def cmd_separate_exported(args):
     path: no recipe, no corpus, no model classes."""
     from amss_tpu.data.store import _read_wav
     from amss_tpu.infer.evaluate import write_wav
-    from amss_tpu.infer.export import ServingArtifact
+    from amss_tpu.infer.export import RealtimeArtifact, ServingArtifact
 
-    art = ServingArtifact(args.export_dir)
+    with open(os.path.join(args.export_dir, "export_meta.json")) as f:
+        kind = json.load(f).get("kind", "offline")
     waves = [_read_wav(p)[0] for p in args.wav]
-    ests = art.separate_all(waves)
+    if kind == "realtime":
+        art = RealtimeArtifact(args.export_dir)
+        ests = [art.separate_stream(w) for w in waves]
+        rtf = float("nan")  # streamed path; see bench realtime fields
+    else:
+        art = ServingArtifact(args.export_dir)
+        ests = art.separate_all(waves)
+        rtf = art.meter.rtf
     os.makedirs(args.out, exist_ok=True)
     for path, est in zip(args.wav, ests):
         base = os.path.splitext(os.path.basename(path))[0]
@@ -307,7 +329,7 @@ def cmd_separate_exported(args):
             write_wav(os.path.join(args.out, f"{base}_spk{s}.wav"), est[s],
                       art.sample_rate)
     print(f"wrote {sum(e.shape[0] for e in ests)} wavs to {args.out} "
-          f"(rtf={art.meter.rtf:.4f})")
+          f"(rtf={rtf:.4f})")
 
 
 def cmd_profile(args):
@@ -421,6 +443,13 @@ def main(argv=None):
             p.add_argument("--serve-batch", type=int, default=8)
             p.add_argument("--platforms", nargs="+", default=["cpu", "tpu"],
                            help="jax.export lowering platforms")
+            p.add_argument("--realtime", action="store_true",
+                           help="export the causal streaming step (c7-style "
+                                "models) instead of offline bucket serving")
+            p.add_argument("--rt-chunk", type=int, default=4096,
+                           help="realtime export: samples per push")
+            p.add_argument("--rt-streams", type=int, default=1,
+                           help="realtime export: concurrent streams per push")
         p.set_defaults(fn=fn)
 
     p = sub.add_parser(

@@ -105,6 +105,7 @@ def export_serving(
 
     meta = {
         "format_version": _FORMAT_VERSION,
+        "kind": "offline",
         "jax_version": jax.__version__,
         "platforms": list(platforms),
         "batch": int(batch),
@@ -112,6 +113,93 @@ def export_serving(
         "sample_rate": int(sample_rate),
         "front": dataclasses.asdict(front),
         "buckets": buckets,
+        "recipe": recipe_dict,
+    }
+    with open(os.path.join(out_dir, "export_meta.json"), "w") as f:
+        json.dump(meta, f, indent=1)
+    return out_dir
+
+
+def export_realtime(
+    model,
+    params,
+    out_dir: str,
+    *,
+    chunk_samples: int = 4096,
+    n_streams: int = 1,
+    platforms: tuple[str, ...] = ("cpu", "tpu"),
+    sample_rate: int = 8000,
+    long_stream: bool = False,
+    recipe_dict: dict | None = None,
+) -> str:
+    """AOT-export the causal low-latency streaming path (infer/realtime.py):
+    TWO StableHLO programs — ``init() -> stream state`` (zeros built in-graph,
+    so the artifact stays small) and ``step(params, state, chunk, end_frame)
+    -> (separated block, state')`` — plus the shared params blob.  A serving
+    host runs the full device-resident streaming loop with no model code
+    (RealtimeArtifact)."""
+    import dataclasses
+
+    import flax.serialization as fser
+    import jax
+    from jax import export as jexport
+
+    from amss_tpu.infer.realtime import RealtimeSeparator
+
+    rt = RealtimeSeparator(
+        model, params, chunk_samples=chunk_samples, n_streams=n_streams,
+        sample_rate=sample_rate, long_stream=long_stream,
+    )
+    step = rt._make_step()
+    state0 = rt._init_state()
+    frame_base0 = int(np.asarray(state0["frame_base"]))
+
+    def init_fn():
+        import jax.numpy as jnp
+
+        z = jax.tree_util.tree_map(
+            lambda x: jnp.zeros(x.shape, x.dtype), state0
+        )
+        z["frame_base"] = jnp.asarray(frame_base0, jnp.int32)
+        return z
+
+    def run(p_state, state, chunk, end_frame):
+        p = fser.from_state_dict(params, p_state)
+        return step(p, state, chunk, end_frame)
+
+    os.makedirs(out_dir, exist_ok=True)
+    host_params = fser.to_state_dict(_host(params))
+    sds = lambda tree: jax.tree_util.tree_map(  # noqa: E731
+        lambda a: jax.ShapeDtypeStruct(np.shape(a), np.asarray(a).dtype), tree
+    )
+    exp_init = jexport.export(jax.jit(init_fn), platforms=tuple(platforms))()
+    exp_step = jexport.export(jax.jit(run), platforms=tuple(platforms))(
+        sds(host_params),
+        sds(_host(state0)),
+        jax.ShapeDtypeStruct((n_streams, chunk_samples), np.float32),
+        jax.ShapeDtypeStruct((n_streams,), np.int32),
+    )
+    with open(os.path.join(out_dir, "realtime_init.jaxexp"), "wb") as f:
+        f.write(exp_init.serialize())
+    step_name = f"realtime_step_c{chunk_samples}_b{n_streams}.jaxexp"
+    with open(os.path.join(out_dir, step_name), "wb") as f:
+        f.write(exp_step.serialize())
+    with open(os.path.join(out_dir, "params.msgpack"), "wb") as f:
+        f.write(fser.to_bytes(host_params))
+
+    meta = {
+        "format_version": _FORMAT_VERSION,
+        "kind": "realtime",
+        "jax_version": jax.__version__,
+        "platforms": list(platforms),
+        "chunk_samples": int(chunk_samples),
+        "n_streams": int(n_streams),
+        "lag": int(rt.lag),
+        "n_speakers": int(model.cfg.nb_speakers),
+        "sample_rate": int(sample_rate),
+        "long_stream": bool(long_stream),
+        "front": dataclasses.asdict(model.cfg.front),
+        "files": {"init": "realtime_init.jaxexp", "step": step_name},
         "recipe": recipe_dict,
     }
     with open(os.path.join(out_dir, "export_meta.json"), "w") as f:
@@ -144,6 +232,11 @@ class ServingArtifact:
                 f"serving artifact at {path} has format_version "
                 f"{self.meta['format_version']}; this loader reads "
                 f"{_FORMAT_VERSION}"
+            )
+        if self.meta.get("kind", "offline") != "offline":
+            raise ValueError(
+                f"artifact at {path} is kind={self.meta['kind']!r}; use "
+                "RealtimeArtifact for realtime exports"
             )
         import flax.serialization as fser
 
@@ -255,3 +348,97 @@ class ServingArtifact:
             group.append(i)
         flush(group)
         return results  # type: ignore
+
+
+_NO_END = np.iinfo(np.int32).max
+
+
+class RealtimeArtifact:
+    """Run an exported causal-streaming directory — the deployment form of
+    RealtimeSeparator, with identical push/stream semantics (exactness vs
+    offline separation is inherited: the step program IS the traced
+    RealtimeSeparator step).  No model code, no tracing.
+
+    Usage::
+
+        art = RealtimeArtifact(path)
+        for chunk in stream:              # [B, chunk] or [chunk] when B == 1
+            out = art.push(chunk)         # [B, S, chunk] (lags by art.lag)
+        est = art.separate_stream(wave)   # whole-utterance convenience
+    """
+
+    def __init__(self, path: str):
+        from jax import export as jexport
+
+        from amss_tpu.utils.config import FrontConfig
+
+        self.path = path
+        with open(os.path.join(path, "export_meta.json")) as f:
+            self.meta = json.load(f)
+        if self.meta.get("kind") != "realtime":
+            raise ValueError(
+                f"artifact at {path} is kind="
+                f"{self.meta.get('kind', 'offline')!r}; use ServingArtifact"
+            )
+        if self.meta["format_version"] != _FORMAT_VERSION:
+            raise ValueError(
+                f"format_version {self.meta['format_version']} != "
+                f"{_FORMAT_VERSION}"
+            )
+        import flax.serialization as fser
+
+        with open(os.path.join(path, "params.msgpack"), "rb") as f:
+            self.params = fser.msgpack_restore(f.read())
+        files = self.meta["files"]
+        with open(os.path.join(path, files["init"]), "rb") as f:
+            self._init = jexport.deserialize(f.read())
+        with open(os.path.join(path, files["step"]), "rb") as f:
+            self._step = jexport.deserialize(f.read())
+        self.front = FrontConfig(**self.meta["front"])
+        self.c = self.meta["chunk_samples"]
+        self.b = self.meta["n_streams"]
+        self.lag = self.meta["lag"]
+        self.n_speakers = self.meta["n_speakers"]
+        self.sample_rate = self.meta["sample_rate"]
+        self.state = self._init.call()
+
+    def reset(self) -> None:
+        """Zero the stream state (new utterances in every slot)."""
+        self.state = self._init.call()
+
+    def push(self, chunk: np.ndarray, end_frame=None) -> np.ndarray:
+        """One streaming step: [B, c] (or [c] when B == 1) mixture samples ->
+        [B, S, c] ([S, c]) separated samples, lagging the input by
+        ``self.lag`` samples.  ``end_frame`` as in RealtimeSeparator.push."""
+        chunk = np.asarray(chunk, np.float32)
+        squeeze = self.b == 1 and chunk.ndim == 1
+        if squeeze:
+            chunk = chunk[None]
+        if chunk.shape != (self.b, self.c):
+            raise ValueError(
+                f"push expects ({self.b}, {self.c}) "
+                f"(or ({self.c},) when n_streams=1), got {chunk.shape}"
+            )
+        end = np.full((self.b,), _NO_END, np.int32) if end_frame is None else \
+            np.broadcast_to(np.asarray(end_frame, np.int32), (self.b,))
+        est, self.state = self._step.call(self.params, self.state, chunk, end)
+        out = np.asarray(est)
+        return out[0] if squeeze else out
+
+    def separate_stream(self, wave: np.ndarray) -> np.ndarray:
+        """Whole-utterance convenience (n_streams == 1): returns
+        [S, len(wave)], exactly the model's offline separation."""
+        if self.b != 1:
+            raise ValueError("separate_stream serves one stream")
+        self.reset()
+        t = len(wave)
+        n_chunks = -(-(t + self.lag) // self.c)
+        nf = self.front.frames_for(t)
+        padded = np.zeros(n_chunks * self.c, np.float32)
+        padded[:t] = wave
+        outs = [
+            self.push(padded[i * self.c : (i + 1) * self.c], end_frame=nf)
+            for i in range(n_chunks)
+        ]
+        full = np.concatenate(outs, axis=-1)
+        return full[:, self.lag : self.lag + t]

@@ -110,3 +110,57 @@ print("OK")
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "OK" in r.stdout
+
+
+def _tiny_c7_model():
+    import dataclasses
+
+    from amss_tpu.configs.recipes import c7_realtime
+    from amss_tpu.train.engine import make_model
+
+    r = c7_realtime()
+    sep = dataclasses.replace(r.model.sep, hidden=16, blocks=3, repeats=2)
+    return make_model(dataclasses.replace(r.model, sep=sep))
+
+
+@pytest.fixture(scope="module")
+def rt_artifact(tmp_path_factory):
+    from amss_tpu.infer.export import export_realtime
+
+    model = _tiny_c7_model()
+    params = model.init(jax.random.PRNGKey(1))
+    out = str(tmp_path_factory.mktemp("exp_rt") / "rt")
+    export_realtime(model, params, out, chunk_samples=1024, platforms=("cpu",))
+    return model, params, out
+
+
+def test_realtime_artifact_exact_vs_offline(rt_artifact):
+    """The exported streaming loop reproduces offline separation exactly —
+    the RealtimeSeparator contract survives AOT serialization."""
+    from amss_tpu.infer.export import RealtimeArtifact
+
+    model, params, out = rt_artifact
+    art = RealtimeArtifact(out)
+    wave = _waves([3000], seed=3)[0]
+    got = art.separate_stream(wave)
+    ref = np.asarray(model.separate(params, jax.numpy.asarray(wave[None])))[0]
+    assert got.shape == ref.shape == (2, 3000)
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+
+    # push API: state persists across pushes; reset starts a new stream
+    art.reset()
+    o1 = art.push(wave[:1024])
+    assert o1.shape == (2, 1024)
+    with pytest.raises(ValueError, match="push expects"):
+        art.push(wave[:512])
+
+
+def test_artifact_kind_guards(rt_artifact, artifact):
+    from amss_tpu.infer.export import RealtimeArtifact, ServingArtifact
+
+    _, _, rt_dir = rt_artifact
+    _, _, off_dir = artifact
+    with pytest.raises(ValueError, match="RealtimeArtifact"):
+        ServingArtifact(rt_dir)
+    with pytest.raises(ValueError, match="ServingArtifact"):
+        RealtimeArtifact(off_dir)
