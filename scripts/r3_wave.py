@@ -468,7 +468,32 @@ def stage_c3_modern():
     export(tr.dir, os.path.join(REPO, "checkpoints", "c3_l41"))
 
 
+def stage_ema_ab():
+    """Parameter-EMA A/B on the flagship arch (train.ema_decay, round-3
+    engine feature): c6 exp4 on the 500-spk corpus with EMA tracked during
+    training — eval BOTH the raw final params and the EMA weights on n=200
+    v2test.  The no-EMA control at the same arch/corpus/steps is already
+    recorded (flagship500_16k_boot200: 9.43 [9.15, 9.71]).
+    `ema_ab [steps] [decay]`."""
+    import dataclasses as dc
+
+    from amss_tpu.configs.recipes import c6_tasnet
+
+    i = sys.argv.index("ema_ab")
+    steps = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 else 16000
+    decay = float(sys.argv[i + 2]) if len(sys.argv) > i + 2 else 0.997
+    r = sized(c6_tasnet(), steps, expansion=4)
+    r = dc.replace(r, train=dc.replace(r.train, ema_decay=decay))
+    tr, state, secs = train(r, V2MAX)
+    for tag, p in (("raw", state["params"]), ("ema", state["ema_params"])):
+        out = blind_eval(tr.model, p, V2, n=200)
+        out.update(stage=f"ema_ab_{steps // 1000}k_d{decay}_{tag}",
+                   steps=steps, train_seconds=secs, run_dir=tr.dir)
+        log_result(out)
+
+
 STAGES = {
+    "ema_ab": stage_ema_ab,
     "c3_modern": stage_c3_modern,
     "dpt_probe": stage_dpt_probe,
     "resume": stage_resume,
