@@ -203,7 +203,9 @@ def _load_for_inference(args, store):
     recipe = _build_recipe(args, store)
     trainer = _trainer_for(args, store, recipe)
     state = trainer.restore(best=True)
-    return trainer.model, state["params"], recipe
+    # EMA runs serve the averaged weights — the ones validation ranked
+    # ckpt_best by (same contract as load_model_from_run's --run-dir path).
+    return trainer.model, state.get("ema_params", state["params"]), recipe
 
 
 def cmd_evaluate(args):
@@ -241,27 +243,30 @@ def cmd_evaluate(args):
     print(json.dumps(out))
 
 
-def cmd_separate(args):
-    import numpy as np
-
-    from amss_tpu.data.store import SpeakerStore, _read_wav
+def _write_separated(wav_paths, ests, out_dir, sample_rate, rtf):
     from amss_tpu.infer.evaluate import write_wav
+
+    os.makedirs(out_dir, exist_ok=True)
+    for path, est in zip(wav_paths, ests):
+        base = os.path.splitext(os.path.basename(path))[0]
+        for s in range(est.shape[0]):
+            write_wav(os.path.join(out_dir, f"{base}_spk{s}.wav"), est[s],
+                      sample_rate)
+    print(f"wrote {sum(e.shape[0] for e in ests)} wavs to {out_dir} "
+          f"(rtf={rtf:.4f})")
+
+
+def cmd_separate(args):
+    from amss_tpu.data.store import SpeakerStore, _read_wav
     from amss_tpu.infer.streaming import StreamingSeparator
-    from amss_tpu.train.engine import Trainer
 
     store = SpeakerStore(args.corpus)
     model, params, recipe = _load_for_inference(args, store)
     waves = [_read_wav(p)[0] for p in args.wav]
     sep = StreamingSeparator(model, params, sample_rate=recipe.sample_rate)
     ests = sep.separate_all(waves)
-    os.makedirs(args.out, exist_ok=True)
-    for path, est in zip(args.wav, ests):
-        base = os.path.splitext(os.path.basename(path))[0]
-        for s in range(est.shape[0]):
-            write_wav(os.path.join(args.out, f"{base}_spk{s}.wav"), est[s],
-                      recipe.sample_rate)
-    print(f"wrote {sum(e.shape[0] for e in ests)} wavs to {args.out} "
-          f"(rtf={sep.meter.rtf:.4f})")
+    _write_separated(args.wav, ests, args.out, recipe.sample_rate,
+                     sep.meter.rtf)
 
 
 def cmd_export(args):
@@ -308,7 +313,6 @@ def cmd_separate_exported(args):
     """Separate WAVs through an exported serving artifact — the deployment
     path: no recipe, no corpus, no model classes."""
     from amss_tpu.data.store import _read_wav
-    from amss_tpu.infer.evaluate import write_wav
     from amss_tpu.infer.export import RealtimeArtifact, ServingArtifact
 
     with open(os.path.join(args.export_dir, "export_meta.json")) as f:
@@ -316,20 +320,19 @@ def cmd_separate_exported(args):
     waves = [_read_wav(p)[0] for p in args.wav]
     if kind == "realtime":
         art = RealtimeArtifact(args.export_dir)
-        ests = [art.separate_stream(w) for w in waves]
+        if art.b == 1:
+            ests = [art.separate_stream(w) for w in waves]
+        else:  # multi-stream artifact: serve the wavs in groups of B slots
+            ests = []
+            for i in range(0, len(waves), art.b):
+                group = waves[i : i + art.b]
+                ests.extend(art.separate_streams(group)[: len(group)])
         rtf = float("nan")  # streamed path; see bench realtime fields
     else:
         art = ServingArtifact(args.export_dir)
         ests = art.separate_all(waves)
         rtf = art.meter.rtf
-    os.makedirs(args.out, exist_ok=True)
-    for path, est in zip(args.wav, ests):
-        base = os.path.splitext(os.path.basename(path))[0]
-        for s in range(est.shape[0]):
-            write_wav(os.path.join(args.out, f"{base}_spk{s}.wav"), est[s],
-                      art.sample_rate)
-    print(f"wrote {sum(e.shape[0] for e in ests)} wavs to {args.out} "
-          f"(rtf={rtf:.4f})")
+    _write_separated(args.wav, ests, args.out, art.sample_rate, rtf)
 
 
 def cmd_profile(args):
@@ -348,10 +351,18 @@ def cmd_profile(args):
     state = tr.init_state()
     tr._build_step()
     p, o = state["params"], state["opt_state"]
+    e = state.get("ema_params")  # EMA runs: the step carries a 3rd donated tree
     cf = tr.corpus.flat if tr.corpus is not None else None
+
+    def one_step(p, o, e, batch, i):
+        if e is not None:
+            return tr._step_fn(p, o, e, batch, cf, jnp.float32(1.0), jnp.int32(i))
+        p, o, m = tr._step_fn(p, o, batch, cf, jnp.float32(1.0), jnp.int32(i))
+        return p, o, None, m
+
     batch = tr._device_batch(tr._draw("train", 0, recipe.train.batch_size))
     # warm (compile outside the trace)
-    p, o, m = tr._step_fn(p, o, batch, cf, jnp.float32(1.0), jnp.int32(0))
+    p, o, e, m = one_step(p, o, e, batch, 0)
     _ = {k: float(v) for k, v in m.items()}
 
     timer = StepTimer()
@@ -359,7 +370,7 @@ def cmd_profile(args):
         timer.start()
         for i in range(args.profile_steps):
             batch = tr._device_batch(tr._draw("train", i + 1, recipe.train.batch_size))
-            p, o, m = tr._step_fn(p, o, batch, cf, jnp.float32(1.0), jnp.int32(i + 1))
+            p, o, e, m = one_step(p, o, e, batch, i + 1)
             _ = {k: float(v) for k, v in m.items()}  # host fetch = sync
             timer.tick()
     stats = {k: round(v, 5) for k, v in timer.stats().items()}

@@ -442,3 +442,33 @@ class RealtimeArtifact:
         ]
         full = np.concatenate(outs, axis=-1)
         return full[:, self.lag : self.lag + t]
+
+    def separate_streams(self, waves) -> list[np.ndarray]:
+        """Batched whole-utterance path for a multi-stream artifact: up to B
+        (possibly ragged) waves, one per stream slot, per-stream end_frame —
+        returns [S, len(wave)] per input.  Short groups leave the spare
+        slots zero-padded."""
+        if self.b == 1:
+            return [self.separate_stream(w) for w in waves]
+        if not 1 <= len(waves) <= self.b:
+            raise ValueError(
+                f"separate_streams takes 1..{self.b} waves "
+                f"(n_streams={self.b}), got {len(waves)}"
+            )
+        self.reset()
+        t = max(len(w) for w in waves)
+        n_chunks = -(-(t + self.lag) // self.c)
+        padded = np.zeros((self.b, n_chunks * self.c), np.float32)
+        nf = np.zeros((self.b,), np.int32)
+        for j, w in enumerate(waves):
+            padded[j, : len(w)] = w
+            nf[j] = self.front.frames_for(len(w))
+        outs = [
+            self.push(padded[:, i * self.c : (i + 1) * self.c], end_frame=nf)
+            for i in range(n_chunks)
+        ]
+        full = np.concatenate(outs, axis=-1)  # [B, S, n*c]
+        return [
+            full[j, :, self.lag : self.lag + len(w)]
+            for j, w in enumerate(waves)
+        ]

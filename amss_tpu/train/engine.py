@@ -527,5 +527,20 @@ class Trainer:
     def restore(self, best: bool = False) -> dict:
         self._ckpt.wait()  # a pending async write must land before reading
         target = self.init_state()
+        if "ema_params" in target:
+            # A pre-EMA checkpoint (run recorded before ema_decay was turned
+            # on) has no ema_params subtree; restoring against a target that
+            # expects one would raise the misleading architecture-mismatch
+            # error.  Peek the blob and drop the key — fit() then seeds the
+            # average at the restored params.
+            import flax.serialization as fser
+
+            from amss_tpu.ckpt.checkpoint import _split_raw
+
+            name = "ckpt_best.msgpack" if best else "ckpt_latest.msgpack"
+            with open(os.path.join(self.dir, name), "rb") as f:
+                raw, _ = _split_raw(fser.msgpack_restore(f.read()))
+            if "ema_params" not in raw:
+                target = {k: v for k, v in target.items() if k != "ema_params"}
         state, _ = restore_checkpoint(self.dir, target, best=best)
         return state

@@ -70,8 +70,11 @@ def test_cli_dress_rehearsal(wav_tree, tmp_path, capsys):
     assert wavs == ["mix_spk0.wav", "mix_spk1.wav"]
 
     # 5.1: profile train steps through the CLI (regression guard: the step
-    # fn's signature grew corpus_flat in round 3 and profile wasn't updated)
+    # fn's signature grew corpus_flat in round 3 and profile wasn't updated).
+    # --accum-steps/--ema-decay ride along: profile must handle the EMA
+    # step's wider signature too (review r3 finding).
     main(["profile", *common, "--workdir", workdir, "--profile-steps", "2",
+          "--accum-steps", "2", "--ema-decay", "0.9",
           "--trace-dir", str(tmp_path / "trace")])
     pr = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert pr["n"] == 2 and np.isfinite(pr["p50_s"])

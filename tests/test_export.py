@@ -164,3 +164,30 @@ def test_artifact_kind_guards(rt_artifact, artifact):
         ServingArtifact(rt_dir)
     with pytest.raises(ValueError, match="ServingArtifact"):
         RealtimeArtifact(off_dir)
+
+
+def test_realtime_artifact_multistream_ragged(rt_artifact):
+    """A multi-stream artifact serves ragged wave groups per-slot-exactly
+    (per-stream end_frame); outputs match offline separation."""
+    from amss_tpu.infer.export import RealtimeArtifact, export_realtime
+
+    model, params, _ = rt_artifact
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="rt2_")
+    export_realtime(model, params, out, chunk_samples=1024, n_streams=2,
+                    platforms=("cpu",))
+    art = RealtimeArtifact(out)
+    waves = _waves([2000, 1300], seed=7)
+    got = art.separate_streams(waves)
+    for g, w in zip(got, waves):
+        ref = np.asarray(
+            model.separate(params, jax.numpy.asarray(w[None]))
+        )[0]
+        assert g.shape == ref.shape == (2, len(w))
+        np.testing.assert_allclose(g, ref, atol=1e-4)
+    # short group: one wave into a 2-slot artifact
+    solo = art.separate_streams(waves[:1])
+    np.testing.assert_allclose(solo[0], got[0], atol=1e-5)
+    with pytest.raises(ValueError, match="separate_stream serves one"):
+        art.separate_stream(waves[0])

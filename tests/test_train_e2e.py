@@ -131,3 +131,25 @@ def test_ema_tracked_validated_and_served(tmp_path):
     np.testing.assert_allclose(
         np.asarray(served["separator"]["proj"]["w"]), we, atol=0
     )
+
+
+def test_ema_restore_from_pre_ema_checkpoint(tmp_path):
+    """Turning ema_decay on over an existing (pre-EMA) run dir restores
+    cleanly — fit() seeds the average at the restored params — instead of
+    raising the architecture-mismatch error."""
+    store = make_synthetic_corpus(
+        str(tmp_path / "corpus"), n_speakers=10, seconds_per_speaker=2.0
+    )
+    r0 = _tiny(steps=4)
+    tr0 = Trainer(r0, store, workdir=str(tmp_path / "runs"))
+    tr0.fit()
+
+    r1 = dataclasses.replace(
+        r0, train=dataclasses.replace(r0.train, ema_decay=0.9, steps=8)
+    )
+    tr1 = Trainer(r1, store, workdir=str(tmp_path / "runs"),
+                  run_dir=tr0.dir)  # same dir: continue the old run
+    state = tr1.restore()
+    assert state["step"] == 4 and "ema_params" not in state
+    state = tr1.fit(state)
+    assert "ema_params" in state and state["step"] == 8
