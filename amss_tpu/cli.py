@@ -335,6 +335,19 @@ def cmd_separate_exported(args):
     _write_separated(args.wav, ests, args.out, art.sample_rate, rtf)
 
 
+def cmd_serve(args):
+    """HTTP serving daemon over an exported artifact (infer/server.py)."""
+    from amss_tpu.infer.server import SeparationServer
+
+    srv = SeparationServer(args.export_dir, host=args.host, port=args.port)
+    print(json.dumps({"serving": args.export_dir, "kind": srv.kind,
+                      "host": args.host, "port": srv.port}), flush=True)
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        srv.shutdown()
+
+
 def cmd_profile(args):
     """Trace N train steps with jax.profiler (Perfetto/TensorBoard-loadable)
     and print wall-clock step stats (SURVEY.md §5.1)."""
@@ -471,6 +484,15 @@ def main(argv=None):
     p.add_argument("--wav", nargs="+", required=True)
     p.add_argument("--out", default="separated")
     p.set_defaults(fn=cmd_separate_exported)
+
+    p = sub.add_parser(
+        "serve",
+        help="HTTP serving daemon over an exported artifact (no model code)",
+    )
+    p.add_argument("--export-dir", required=True)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8080)
+    p.set_defaults(fn=cmd_serve)
 
     args = ap.parse_args(argv)
     args.fn(args)
