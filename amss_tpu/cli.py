@@ -40,6 +40,10 @@ def _add_train_overrides(p: argparse.ArgumentParser):
     p.add_argument("--ema-decay", type=float,
                    help="parameter EMA decay (0 = off); EMA weights are "
                         "validated, ranked for ckpt_best, and served")
+    p.add_argument("--valid-quality", action="store_const", const=True,
+                   default=None,
+                   help="also log valid/si_sdri (full inference path on one "
+                        "valid batch) at every validation")
     p.add_argument("--hidden", type=int)
     p.add_argument("--layers", type=int)
     p.add_argument("--embed-dim", type=int)
@@ -93,6 +97,7 @@ def _build_recipe(args, store):
             "device_data": getattr(args, "device_data", None),
             "accum_steps": getattr(args, "accum_steps", None),
             "ema_decay": getattr(args, "ema_decay", None),
+            "valid_quality": getattr(args, "valid_quality", None),
         }.items()
         if v is not None
     }

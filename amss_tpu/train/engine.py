@@ -138,6 +138,8 @@ class Trainer:
         self._valid_fn = None
         self._ckpt = AsyncCheckpointer()
         self._warned_summaries = False
+        self._warned_quality = False
+        self._quality_fn = None  # lazy jitted separate for valid_quality
         # Device-resident corpus mode: shards live in HBM; batches are plans.
         self.corpus = None
         if recipe.train.device_data:
@@ -491,8 +493,52 @@ class Trainer:
             losses.append(float(metrics["loss"]))
         vloss = float(np.mean(losses))
         self.writer.scalars(step + 1, {"valid/loss": vloss})
+        if r.valid_quality:
+            self._quality_summary(params, step, split, offset)
         self._image_summaries(params, step)
         return vloss
+
+    def _quality_summary(self, params, step, split, offset):
+        """valid/si_sdri: the full inference path (separate -> PIT SI-SDR) on
+        one valid batch — the quality curve logged next to the loss curve
+        (train.valid_quality).  Best-effort like image summaries: never
+        kills training, warns once on breakage."""
+        if not hasattr(self.model, "separate") or self._warned_quality:
+            return
+        try:
+            import jax.numpy as jnp
+
+            from amss_tpu.ops.metrics import pit_si_sdr, si_sdr
+
+            hb = self.mixer.batch(split, offset + 999_983,
+                                  min(self.recipe.train.batch_size, 8))
+            if self._quality_fn is None:
+                if self.recipe.model.kind == "l41":  # enrolled path
+                    self._quality_fn = jax.jit(
+                        lambda p, m, s: self.model.separate(p, m, speaker_ids=s)
+                    )
+                else:
+                    self._quality_fn = jax.jit(
+                        lambda p, m, s: self.model.separate(p, m)
+                    )
+            src = jnp.asarray(hb.sources)
+            mix = src.sum(axis=1)
+            est = self._quality_fn(params, mix, jnp.asarray(hb.speaker_ids))
+            scores, _ = pit_si_sdr(est, src)
+            base = jnp.mean(
+                si_sdr(jnp.broadcast_to(mix[:, None, :], src.shape), src),
+                axis=-1,
+            )
+            q = float(jnp.mean(scores - base))
+            self.writer.scalars(step + 1, {"valid/si_sdri": q})
+        except Exception:
+            self._warned_quality = True
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "valid_quality summary failed; disabling for this run",
+                exc_info=True,
+            )
 
     def _image_summaries(self, params, step):
         """Spectrogram/mask heatmaps on one valid mixture (SURVEY.md §5.5)."""

@@ -131,6 +131,11 @@ class TrainConfig:
     # best-checkpoint metric, and downstream loading (load_model_from_run)
     # use the EMA weights.
     ema_decay: float = 0.0
+    # Quality-during-training: every validation also runs the full inference
+    # path (separate -> PIT) on one valid batch and logs valid/si_sdri — the
+    # quality curve next to the loss curve.  Off by default (separate is
+    # much heavier than the loss for clustering models: k-means in-graph).
+    valid_quality: bool = False
 
 
 @dataclass(frozen=True)
@@ -189,6 +194,8 @@ def run_id_from_stored(d: dict) -> str:
         tr.pop("accum_steps", None)
     if not tr.get("ema_decay", 0.0):  # 0.0 = EMA off, pre-growth behavior
         tr.pop("ema_decay", None)
+    if not tr.get("valid_quality", False):  # logging-only knob, off = as before
+        tr.pop("valid_quality", None)
     blob = json.dumps(d, sort_keys=True).encode()
     return hashlib.sha256(blob).hexdigest()[:12]
 

@@ -153,3 +153,24 @@ def test_ema_restore_from_pre_ema_checkpoint(tmp_path):
     assert state["step"] == 4 and "ema_params" not in state
     state = tr1.fit(state)
     assert "ema_params" in state and state["step"] == 8
+
+
+def test_valid_quality_curve_logged(tmp_path):
+    """train.valid_quality logs valid/si_sdri (full inference path) next to
+    valid/loss at every validation."""
+    import json
+    import os
+
+    store = make_synthetic_corpus(
+        str(tmp_path / "corpus"), n_speakers=10, seconds_per_speaker=2.0
+    )
+    r = _tiny(steps=6)
+    r = dataclasses.replace(
+        r, train=dataclasses.replace(r.train, valid_quality=True, valid_every=3)
+    )
+    tr = Trainer(r, store, workdir=str(tmp_path / "runs"))
+    tr.fit()
+    recs = [json.loads(l)
+            for l in open(os.path.join(tr.dir, "metrics.jsonl"))]
+    qs = [m["valid/si_sdri"] for m in recs if "valid/si_sdri" in m]
+    assert len(qs) == 2 and all(np.isfinite(q) for q in qs)
