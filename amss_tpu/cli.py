@@ -44,6 +44,9 @@ def _add_train_overrides(p: argparse.ArgumentParser):
                    default=None,
                    help="also log valid/si_sdri (full inference path on one "
                         "valid batch) at every validation")
+    p.add_argument("--early-stop-patience", type=int,
+                   help="stop after N consecutive validations without a new "
+                        "best valid loss (0 = off; ckpt_best keeps the best)")
     p.add_argument("--hidden", type=int)
     p.add_argument("--layers", type=int)
     p.add_argument("--embed-dim", type=int)
@@ -98,6 +101,7 @@ def _build_recipe(args, store):
             "accum_steps": getattr(args, "accum_steps", None),
             "ema_decay": getattr(args, "ema_decay", None),
             "valid_quality": getattr(args, "valid_quality", None),
+            "early_stop_patience": getattr(args, "early_stop_patience", None),
         }.items()
         if v is not None
     }

@@ -23,19 +23,46 @@ class Prefetcher:
         """make_batch(step) -> host batch; put_batch(host) -> device batch."""
         self._q: queue.Queue = queue.Queue(maxsize=depth)
         self._err = None
+        self._closed = False
 
         def worker():
             try:
                 for step in range(start_step, end_step):
+                    if self._closed:
+                        return
                     host = make_batch(step)
-                    self._q.put((step, put_batch(host)))
+                    item = (step, put_batch(host))
+                    while not self._closed:  # bounded put, abortable
+                        try:
+                            self._q.put(item, timeout=0.2)
+                            break
+                        except queue.Full:
+                            pass
             except Exception as e:  # surfaced on next __next__
                 self._err = e
             finally:
-                self._q.put(None)
+                # The sentinel must not be dropped: a full queue here just
+                # means the consumer is behind — keep retrying (abortable by
+                # close()) or the consumer would block forever on get().
+                while not self._closed:
+                    try:
+                        self._q.put(None, timeout=0.2)
+                        break
+                    except queue.Full:
+                        pass
 
         self._thread = threading.Thread(target=worker, daemon=True)
         self._thread.start()
+
+    def close(self):
+        """Stop the worker early (e.g. early stopping): flag, drain, join."""
+        self._closed = True
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+        self._thread.join(timeout=5.0)
 
     def __iter__(self):
         return self

@@ -436,7 +436,10 @@ class Trainer:
             end_step=r.steps,
         )
         corpus_flat = self.corpus.flat if self.corpus is not None else None
+        best_v, stale = float("inf"), 0  # early-stopping bookkeeping
+        last_step = start - 1
         for step, batch in batches:
+            last_step = step
             fscale = jnp.float32(0.0 if step < self.recipe.freeze_front_steps else 1.0)
             if ema_on:
                 params, opt_state, ema_params, metrics = self._step_fn(
@@ -466,9 +469,22 @@ class Trainer:
                     if ema_on:
                         ck["ema_params"] = ema_params
                     self._ckpt.save(self.dir, ck, step=step + 1, metric=vloss)
+                if r.early_stop_patience > 0:
+                    if vloss < best_v:
+                        best_v, stale = vloss, 0
+                    else:
+                        stale += 1
+                    if stale >= r.early_stop_patience:
+                        # ckpt_best already holds the best-on-valid weights;
+                        # stopping loses nothing but wasted steps.
+                        self.writer.scalars(
+                            step + 1, {"train/early_stopped": 1.0}
+                        )
+                        batches.close()
+                        break
         self._ckpt.wait()  # drain async checkpoint writes before returning
         self.writer.flush()
-        out = {"params": params, "opt_state": opt_state, "step": r.steps}
+        out = {"params": params, "opt_state": opt_state, "step": last_step + 1}
         if ema_on:
             out["ema_params"] = ema_params
         return out

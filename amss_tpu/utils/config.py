@@ -136,6 +136,10 @@ class TrainConfig:
     # quality curve next to the loss curve.  Off by default (separate is
     # much heavier than the loss for clustering models: k-means in-graph).
     valid_quality: bool = False
+    # Early stopping: stop after this many consecutive validations without a
+    # new best valid loss (0 = off).  ckpt_best already holds the best-on-
+    # valid weights, so stopping early loses nothing.
+    early_stop_patience: int = 0
 
 
 @dataclass(frozen=True)
@@ -196,6 +200,8 @@ def run_id_from_stored(d: dict) -> str:
         tr.pop("ema_decay", None)
     if not tr.get("valid_quality", False):  # logging-only knob, off = as before
         tr.pop("valid_quality", None)
+    if not tr.get("early_stop_patience", 0):  # 0 = off, pre-growth behavior
+        tr.pop("early_stop_patience", None)
     blob = json.dumps(d, sort_keys=True).encode()
     return hashlib.sha256(blob).hexdigest()[:12]
 

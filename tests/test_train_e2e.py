@@ -174,3 +174,25 @@ def test_valid_quality_curve_logged(tmp_path):
             for l in open(os.path.join(tr.dir, "metrics.jsonl"))]
     qs = [m["valid/si_sdri"] for m in recs if "valid/si_sdri" in m]
     assert len(qs) == 2 and all(np.isfinite(q) for q in qs)
+
+
+def test_early_stopping(tmp_path):
+    """early_stop_patience ends training after N stale validations; the
+    returned step reflects the actual stop point and ckpt_best survives."""
+    import os
+
+    store = make_synthetic_corpus(
+        str(tmp_path / "corpus"), n_speakers=10, seconds_per_speaker=2.0
+    )
+    r = _tiny(steps=40)
+    # lr=0: valid loss never improves after the first validation
+    r = dataclasses.replace(
+        r, train=dataclasses.replace(
+            r.train, lr=0.0, valid_every=2, early_stop_patience=2
+        )
+    )
+    tr = Trainer(r, store, workdir=str(tmp_path / "runs"))
+    state = tr.fit()
+    # first validation sets best; the next 2 are stale -> stop at step 6
+    assert state["step"] == 6 < 40
+    assert os.path.exists(os.path.join(tr.dir, "ckpt_best.msgpack"))

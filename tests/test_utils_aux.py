@@ -89,3 +89,22 @@ def test_nan_guard_catches_nan_production():
     # and normal computation passes under the guard
     with nan_guard():
         assert float(jnp.sum(jnp.ones(4))) == 4.0
+
+
+def test_prefetcher_slow_consumer_still_terminates():
+    """Regression: when the worker finishes while the queue is still full
+    (consumer behind), the StopIteration sentinel must not be dropped — the
+    old bounded put silently lost it and the consumer blocked forever."""
+    import time
+
+    it = Prefetcher(lambda s: s, lambda h: h, 0, 2, depth=2)
+    time.sleep(1.0)  # let the worker fill the queue and reach its finally
+    done = []
+
+    def consume():
+        done.append(list(it))
+
+    t = __import__("threading").Thread(target=consume, daemon=True)
+    t.start()
+    t.join(timeout=10.0)
+    assert done and [s for s, _ in done[0]] == [0, 1], "consumer hung"
