@@ -344,6 +344,85 @@ def cmd_separate_exported(args):
     _write_separated(args.wav, ests, args.out, art.sample_rate, rtf)
 
 
+def _parse_grid(specs: list[str]) -> list[dict]:
+    """["lr=1e-3,3e-4", "expansion=2,4"] -> cartesian product of override
+    dicts (4 combos).  Values auto-typed: int, then float, then true/false,
+    else string."""
+    import itertools
+
+    def typed(v: str):
+        for cast in (int, float):
+            try:
+                return cast(v)
+            except ValueError:
+                pass
+        if v.lower() in ("true", "false"):
+            return v.lower() == "true"
+        return v
+
+    axes = []
+    for spec in specs:
+        if "=" not in spec:
+            raise SystemExit(f"--grid entries are key=v1,v2,... (got {spec!r})")
+        key, vals = spec.split("=", 1)
+        key = key.replace("-", "_")
+        axes.append([(key, typed(v)) for v in vals.split(",") if v != ""])
+    return [dict(combo) for combo in itertools.product(*axes)]
+
+
+def cmd_sweep(args):
+    """Sequential hyperparameter sweep: train + evaluate every grid combo,
+    emit one JSON line per combo and a final ranking.  Grid keys are the
+    train-override flag names (lr, expansion, trunk, ema-decay, ...)."""
+    import copy
+
+    import numpy as np
+
+    from amss_tpu.data.mixer import Mixer
+    from amss_tpu.data.store import SpeakerStore
+    from amss_tpu.infer.evaluate import evaluate_separation
+    from amss_tpu.infer.streaming import StreamingSeparator
+    from amss_tpu.train.engine import Trainer
+
+    store = SpeakerStore(args.corpus)
+    combos = _parse_grid(args.grid)
+    rows = []
+    for i, combo in enumerate(combos):
+        a = copy.copy(args)
+        for k, v in combo.items():
+            if not hasattr(a, k):
+                raise SystemExit(f"unknown grid key {k!r} (not a train flag)")
+            setattr(a, k, v)
+        recipe = _build_recipe(a, store)
+        tr = Trainer(recipe, store, workdir=args.workdir)
+        print(json.dumps({"combo": combo, "run_dir": tr.dir,
+                          "status": f"training {i + 1}/{len(combos)}"}),
+              flush=True)
+        state = tr.fit()
+        params = state.get("ema_params", state["params"])
+
+        mixer = Mixer(store, nb_speakers=recipe.model.nb_speakers,
+                      chunk_samples=recipe.train.chunk_samples,
+                      seed=recipe.train.seed)
+        mixes, refs = [], []
+        for j in range(args.n_mixtures):
+            hb = mixer.batch("test", j, 1)
+            refs.append(hb.sources[0])
+            mixes.append(hb.sources[0].sum(0))
+        sep = StreamingSeparator(tr.model, params,
+                                 sample_rate=recipe.sample_rate)
+        est = sep.separate_all(mixes)
+        q = evaluate_separation(np.stack(est), np.stack(refs),
+                                np.stack(mixes), bss=False)
+        row = {"combo": combo, "run_dir": tr.dir, "step": state["step"],
+               "si_sdri": round(q["si_sdri"], 3)}
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    rows.sort(key=lambda r: -r["si_sdri"])
+    print(json.dumps({"ranking": rows}), flush=True)
+
+
 def cmd_serve(args):
     """HTTP serving daemon over an exported artifact (infer/server.py)."""
     from amss_tpu.infer.server import SeparationServer
@@ -448,7 +527,7 @@ def main(argv=None):
 
     for name, fn in [("train", cmd_train), ("evaluate", cmd_evaluate),
                      ("separate", cmd_separate), ("profile", cmd_profile),
-                     ("export", cmd_export)]:
+                     ("export", cmd_export), ("sweep", cmd_sweep)]:
         p = sub.add_parser(name)
         p.add_argument("--recipe", required=True,
                        choices=sorted(ALL_RECIPES))
@@ -467,6 +546,12 @@ def main(argv=None):
         if name == "profile":
             p.add_argument("--profile-steps", type=int, default=20)
             p.add_argument("--trace-dir", default="/tmp/amss_trace")
+        if name == "sweep":
+            p.add_argument("--grid", nargs="+", required=True,
+                           help="axes as key=v1,v2 (flag names, e.g. "
+                                "lr=1e-3,3e-4 expansion=2,4); cartesian "
+                                "product is trained sequentially")
+            p.add_argument("--n-mixtures", type=int, default=32)
         if name == "export":
             p.add_argument("--out", required=True,
                            help="serving-artifact output directory")

@@ -105,3 +105,34 @@ def test_module_entry_point():
     )
     assert r.returncode == 0
     assert "train" in r.stdout and "evaluate" in r.stdout
+
+
+def test_grid_parse():
+    from amss_tpu.cli import _parse_grid
+
+    combos = _parse_grid(["lr=1e-3,3e-4", "expansion=2,4"])
+    assert len(combos) == 4
+    assert {"lr": 0.001, "expansion": 2} in combos
+    assert all(isinstance(c["expansion"], int) for c in combos)
+    assert _parse_grid(["trunk=tcn,dprnn"])[0]["trunk"] == "tcn"
+
+
+def test_cli_sweep(wav_tree, tmp_path, capsys):
+    """Two-combo sweep through the CLI: trains both, evaluates, ranks."""
+    corpus = str(tmp_path / "store")
+    main(["ingest", "--wav-root", wav_tree, "--out", corpus,
+          "--sample-rate", "8000"])
+    capsys.readouterr()
+    main(["sweep", "--recipe", "c1", "--corpus", corpus,
+          "--workdir", str(tmp_path / "runs"),
+          "--hidden", "16", "--layers", "1", "--embed-dim", "8",
+          "--chunk-samples", "4096", "--batch-size", "4",
+          "--steps", "20", "--valid-every", "10",
+          "--grid", "lr=1e-3,3e-3", "--n-mixtures", "2"])
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()
+             if l.startswith("{")]
+    ranking = [l for l in lines if "ranking" in l]
+    assert len(ranking) == 1 and len(ranking[0]["ranking"]) == 2
+    lrs = sorted(r["combo"]["lr"] for r in ranking[0]["ranking"])
+    assert lrs == [0.001, 0.003]
+    assert all(np.isfinite(r["si_sdri"]) for r in ranking[0]["ranking"])
