@@ -241,7 +241,9 @@ def cmd_evaluate(args):
     sep = StreamingSeparator(model, params, sample_rate=recipe.sample_rate)
     est = sep.separate_all(mixes)
     out = evaluate_separation(
-        np.stack(est), np.stack(refs), np.stack(mixes), per_utt=True
+        np.stack(est), np.stack(refs), np.stack(mixes), per_utt=True,
+        with_stoi=getattr(args, "stoi", False),
+        sample_rate=recipe.sample_rate,
     )
     # CI noise floor at small n (stderr ~0.6 dB at n=32) — surface it so CLI
     # users read comparisons with the same error bars the PARITY tables carry
@@ -540,6 +542,9 @@ def main(argv=None):
         _add_train_overrides(p)
         if name == "evaluate":
             p.add_argument("--n-mixtures", type=int, default=32)
+            p.add_argument("--stoi", action="store_true",
+                           help="also report STOI intelligibility (first-"
+                                "party, ops/stoi.py)")
         if name == "separate":
             p.add_argument("--wav", nargs="+", required=True)
             p.add_argument("--out", default="separated")

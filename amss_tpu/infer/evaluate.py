@@ -44,6 +44,8 @@ def evaluate_separation(
     mix: np.ndarray,  # [B, T]
     bss: bool = True,
     per_utt: bool = False,
+    with_stoi: bool = False,
+    sample_rate: int = 8000,
 ) -> dict:
     """Aggregate separation quality: mean SI-SDR/SI-SDRi (device) plus the
     first-party BSS-Eval SDR/SIR/SAR columns (ops/bss_eval.py — the
@@ -80,6 +82,22 @@ def evaluate_separation(
             )
             out["sdri_ci"] = bootstrap_ci(sdri_utt)
             out["sdri_per_utt"] = [round(float(v), 3) for v in sdri_utt]
+    if with_stoi:
+        # intelligibility companion metric (first-party, ops/stoi.py) over
+        # PIT-aligned estimates; mean over utterances and speakers, plus the
+        # mixture baseline for the improvement column
+        from amss_tpu.ops.stoi import stoi
+
+        aligned = np.asarray(permute_estimates(est_j, perm))
+        ref_np, mix_np = np.asarray(ref), np.asarray(mix)
+        vals, base_vals = [], []
+        for b in range(ref_np.shape[0]):
+            for s in range(ref_np.shape[1]):
+                vals.append(stoi(ref_np[b, s], aligned[b, s], sample_rate))
+                base_vals.append(stoi(ref_np[b, s], mix_np[b], sample_rate))
+        out["stoi"] = float(np.mean(vals))
+        out["stoi_mix"] = float(np.mean(base_vals))
+        out["stoi_i"] = out["stoi"] - out["stoi_mix"]
     try:  # host cross-check harness (SURVEY.md §2.6); not present in image
         import mir_eval.separation as mes
 
