@@ -256,8 +256,8 @@ class ServingArtifact:
                 return b
         raise ValueError(
             f"utterance of {n} samples exceeds the largest exported bucket "
-            f"({self.buckets[-1]['length']}); re-export with a longer bucket "
-            "or serve long-form audio through infer/long.py with the model"
+            f"({self.buckets[-1]['length']}) — exact-shape APIs don't chunk; "
+            "separate_all/separate_long handle over-bucket audio"
         )
 
     def _exported(self, bucket: dict):
@@ -307,11 +307,24 @@ class ServingArtifact:
 
     def separate_all(self, waves: list[np.ndarray]) -> list[np.ndarray]:
         """Separate variable-length utterances; returns [S, T_orig] per input
-        in order.  Mirrors StreamingSeparator.separate_all's bucketing."""
+        in order.  Mirrors StreamingSeparator.separate_all's bucketing;
+        utterances beyond the largest bucket take the chunked overlap-discard
+        path (separate_long) — never truncated."""
         import time
 
         results: list[np.ndarray | None] = [None] * len(waves)
-        order = sorted(range(len(waves)), key=lambda i: len(waves[i]))
+        max_bucket = self.buckets[-1]["length"]
+        for i, w in enumerate(waves):
+            if len(w) > max_bucket:
+                t0 = time.perf_counter()
+                results[i] = self.separate_long(w)
+                self.meter.compute_seconds += time.perf_counter() - t0
+                self.meter.audio_seconds += len(w) / self.sample_rate
+                self.meter.utterances += 1
+        order = sorted(
+            (i for i in range(len(waves)) if results[i] is None),
+            key=lambda i: len(waves[i]),
+        )
         group: list[int] = []
         current = None
 
@@ -348,6 +361,41 @@ class ServingArtifact:
             group.append(i)
         flush(group)
         return results  # type: ignore
+
+    def separate_long(self, wave: np.ndarray, overlap: int = 4096) -> np.ndarray:
+        """-> [S, len(wave)].  Arbitrary-length audio through the largest
+        exported bucket: chunked overlap-discard with cross-chunk speaker
+        alignment + crossfade (the same stitch as infer/long.py, so the
+        artifact path and the live-model path agree)."""
+        from amss_tpu.infer.long import stitch_chunks
+
+        bucket = self.buckets[-1]
+        chunk = bucket["length"]
+        t = len(wave)
+        if t <= chunk:
+            return self.separate_all([wave])[0]
+        overlap = min(overlap, chunk // 4)
+        hop = chunk - overlap
+        n_chunks = -(-max(t - overlap, 1) // hop)
+        t_pad = (n_chunks - 1) * hop + chunk
+        mix_p = np.zeros(t_pad, np.float32)
+        mix_p[:t] = wave
+        starts = [i * hop for i in range(n_chunks)]
+        rows = np.stack([mix_p[s : s + chunk] for s in starts])
+
+        exp = self._exported(bucket)
+        fmask = np.ones((self.batch, bucket["frames"]), np.float32)
+        outs = []
+        for g0 in range(0, n_chunks, self.batch):
+            grp = rows[g0 : g0 + self.batch]
+            n_real = grp.shape[0]
+            if n_real < self.batch:
+                grp = np.concatenate(
+                    [grp, np.zeros((self.batch - n_real, chunk), np.float32)]
+                )
+            outs.append(np.asarray(exp.call(self.params, grp, fmask))[:n_real])
+        est = np.concatenate(outs)  # [n_chunks, S, chunk]
+        return stitch_chunks(est, starts, overlap, t, t_pad)
 
 
 _NO_END = np.iinfo(np.int32).max

@@ -93,7 +93,21 @@ def separate_long(
         outs.append(np.asarray(fn(params, jnp.asarray(grp)))[:n_real])
     est = np.concatenate(outs)  # [n_chunks, S, chunk]
 
-    s_dim = est.shape[1]
+    return stitch_chunks(est, starts, overlap, t, t_pad)
+
+
+def stitch_chunks(
+    est: np.ndarray,  # [n_chunks, S, chunk] per-chunk separated audio
+    starts: list[int],
+    overlap: int,
+    t: int,
+    t_pad: int,
+) -> np.ndarray:
+    """-> [S, t].  Speaker-align consecutive chunks by overlap correlation
+    (k-means labels are arbitrary per chunk) and crossfade the overlaps.
+    Pure numpy — shared by the live model path (separate_long) and the AOT
+    artifact path (infer/export.py::ServingArtifact.separate_long)."""
+    n_chunks, s_dim, chunk = est.shape
     perms = list(itertools.permutations(range(s_dim)))
     out = np.zeros((s_dim, t_pad), np.float32)
     out[:, :chunk] = est[0]

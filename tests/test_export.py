@@ -83,7 +83,23 @@ def test_exact_batch_api(artifact):
     with pytest.raises(ValueError, match="exact-shape"):
         art.separate_batch(mix[:, :512])
     with pytest.raises(ValueError, match="largest exported bucket"):
-        art.separate_all(_waves([9000]))
+        art.separate_batch(np.stack(_waves([9000] * 4)))
+
+
+def test_long_form_through_artifact(artifact):
+    """Over-bucket utterances route through the artifact's chunked
+    overlap-discard path and match the live-model long path exactly (same
+    per-chunk program + the shared stitch)."""
+    from amss_tpu.infer.long import separate_long
+
+    model, params, out = artifact
+    art = ServingArtifact(out)
+    wave = _waves([9000], seed=11)[0]
+    got = art.separate_all([wave])[0]
+    assert got.shape == (2, 9000)
+    live = separate_long(model, params, wave, chunk=4096)
+    np.testing.assert_allclose(got, live, atol=2e-5)
+    assert art.meter.utterances == 1
 
 
 def test_serving_without_model_code(artifact):
