@@ -70,6 +70,12 @@ def _add_train_overrides(p: argparse.ArgumentParser):
                    help="mask-inference target (psa = phase-sensitive)")
     p.add_argument("--weight-kind", choices=["vad", "magnitude", "magvad"])
     p.add_argument("--vad-threshold-db", type=float)
+    p.add_argument("--train-noise-snr", type=float, nargs=2,
+                   metavar=("LO", "HI"),
+                   help="noise-robust training: corrupt the observed mixture "
+                        "in-graph with white noise at a per-utterance SNR "
+                        "drawn uniformly from [LO, HI] dB (targets stay "
+                        "clean); omit for the reference's clean setting")
 
 
 def _build_recipe(args, store):
@@ -132,6 +138,10 @@ def _build_recipe(args, store):
             "loss_variant": getattr(args, "loss_variant", None),
             "weight_kind": getattr(args, "weight_kind", None),
             "vad_threshold_db": getattr(args, "vad_threshold_db", None),
+            "train_noise_snr_db": (
+                tuple(args.train_noise_snr)
+                if getattr(args, "train_noise_snr", None) is not None else None
+            ),
         }.items()
         if v is not None
     }
@@ -234,10 +244,17 @@ def cmd_evaluate(args):
         seed=recipe.train.seed,
     )
     mixes, refs = [], []
+    noise_rng = np.random.default_rng(1234)  # deterministic noisy eval
     for i in range(args.n_mixtures):
         hb = mixer.batch("test", i, 1)
         refs.append(hb.sources[0])
-        mixes.append(hb.sources[0].sum(0))
+        m = hb.sources[0].sum(0)
+        if getattr(args, "noise_snr", None) is not None:
+            noise = noise_rng.standard_normal(m.shape).astype(np.float32)
+            scale = (np.sqrt(np.mean(m**2)) * 10.0 ** (-args.noise_snr / 20.0)
+                     / max(np.sqrt(np.mean(noise**2)), 1e-9))
+            m = m + noise * scale
+        mixes.append(m)
     sep = StreamingSeparator(model, params, sample_rate=recipe.sample_rate)
     est = sep.separate_all(mixes)
     out = evaluate_separation(
@@ -545,6 +562,11 @@ def main(argv=None):
             p.add_argument("--stoi", action="store_true",
                            help="also report STOI intelligibility (first-"
                                 "party, ops/stoi.py)")
+            p.add_argument("--noise-snr", type=float, default=None,
+                           help="corrupt the test mixtures with white noise "
+                                "at this SNR (dB) before separation — the "
+                                "noisy-robustness evaluation; metrics stay "
+                                "against the clean references")
         if name == "separate":
             p.add_argument("--wav", nargs="+", required=True)
             p.add_argument("--out", default="separated")

@@ -19,6 +19,7 @@ from amss_tpu.models.front import (
     psa_targets,
     vad_weights,
     bin_weights,
+    corrupt_mix,
     instance_norm,
 )
 from amss_tpu.utils.config import ModelConfig
@@ -163,14 +164,19 @@ class SeparatorBase:
         )  # [B, T', 2H]
 
     # -- shared pipeline pieces ----------------------------------------------
-    def encode_mix_and_sources(self, params: dict, sources: jnp.ndarray):
+    def encode_mix_and_sources(self, params: dict, sources: jnp.ndarray,
+                               rng=None):
         """Device-side mixing + analysis of mixture and sources.
 
         sources: [B, S, T].  Returns (mix [B,T], mix codes, aux,
         src codes [B,S,T',F], Y, weights, src aux).  The mixture is formed ON
         DEVICE (BASELINE.json:5): the host ships only per-speaker chunks.
-        """
+        With cfg.train_noise_snr_db set and a train rng given, the observed
+        mixture is corrupted in-graph (front.corrupt_mix) — targets and
+        ideal masks stay clean."""
         mix = jnp.sum(sources, axis=1)
+        if self.cfg.train_noise_snr_db is not None and rng is not None:
+            mix = corrupt_mix(mix, rng, tuple(self.cfg.train_noise_snr_db))
         codes, aux = self.front.encode(params["front"], mix)
         src_codes, src_aux = self.front.encode(params["front"], sources)
         y = ideal_binary_mask(src_codes)  # [B, T', F, S]

@@ -82,7 +82,7 @@ class ChimeraModel(SeparatorBase):
     ) -> tuple[jnp.ndarray, dict]:
         c = self.cfg
         mix, codes, aux, src_codes, y, w, src_aux = self.encode_mix_and_sources(
-            params, sources
+            params, sources, rng=rng
         )
         feats = self.front.features(params["front"], codes)
         v, masks = self.heads(params, feats, rng=rng)

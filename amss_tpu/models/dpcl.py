@@ -86,7 +86,9 @@ class DPCLModel(SeparatorBase):
         mixture-reconstruction term of the end-to-end finetune recipe
         (SURVEY.md §3.3) so the filterbank stays invertible while the
         embedding loss shapes it."""
-        mix, codes, aux, _, y, w, _ = self.encode_mix_and_sources(params, sources)
+        mix, codes, aux, _, y, w, _ = self.encode_mix_and_sources(
+            params, sources, rng=rng
+        )
         feats = self.front.features(params["front"], codes)
         v = self.embed(params, feats, rng=rng)
         l_dc = dpcl_loss(v, y, w)

@@ -98,6 +98,30 @@ class STFTFrontEnd:
 # ---------------------------------------------------------------------------
 
 
+def corrupt_mix(
+    mix: jnp.ndarray,  # [B, T]
+    rng,
+    snr_db_range: tuple[float, float],
+) -> jnp.ndarray:
+    """Training-time noise injection (beyond-reference, WHAM!-style noisy
+    separation): add white Gaussian noise at a per-utterance SNR drawn
+    uniformly from ``snr_db_range`` against the mixture's RMS.  In-graph —
+    no data-pipeline changes, deterministic in (seed, step) like dropout
+    (the caller folds its step rng).  Targets stay the CLEAN sources; only
+    the observed mixture is corrupted."""
+    import jax
+
+    lo, hi = snr_db_range
+    kn, ks = jax.random.split(jax.random.fold_in(rng, 0x5E15E))
+    b = mix.shape[0]
+    snr_db = jax.random.uniform(ks, (b,), minval=lo, maxval=hi)
+    noise = jax.random.normal(kn, mix.shape, mix.dtype)
+    mix_rms = jnp.sqrt(jnp.mean(mix**2, axis=-1) + _EPS)
+    noise_rms = jnp.sqrt(jnp.mean(noise**2, axis=-1) + _EPS)
+    target_rms = mix_rms * 10.0 ** (-snr_db / 20.0)
+    return mix + noise * (target_rms / noise_rms)[:, None]
+
+
 def ideal_binary_mask(src_codes: jnp.ndarray) -> jnp.ndarray:
     """Dominant-source one-hot mask.  src_codes [B, S, T', F] -> Y [B, T', F, S].
 

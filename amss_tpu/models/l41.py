@@ -67,7 +67,9 @@ class L41Model(SeparatorBase):
         self, params: dict, sources: jnp.ndarray, speaker_ids: jnp.ndarray, rng=None
     ) -> tuple[jnp.ndarray, dict]:
         """sources [B,S,T], speaker_ids [B,S] (global train-set indices)."""
-        _, codes, _, _, y, w, _ = self.encode_mix_and_sources(params, sources)
+        _, codes, _, _, y, w, _ = self.encode_mix_and_sources(
+            params, sources, rng=rng
+        )
         feats = self.front.features(params["front"], codes)
         v = self.embed(params, feats, rng=rng)
         logits = self._logits(params, v, speaker_ids)

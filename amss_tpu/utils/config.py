@@ -99,6 +99,11 @@ class ModelConfig:
     # end-to-end finetune (SURVEY.md §3.3): weight of the waveform-domain
     # mixture-reconstruction term added to the separator loss (learned fronts)
     recon_weight: float = 0.0
+    # Training-time noise injection (beyond reference, WHAM!-style): white
+    # noise added to the OBSERVED mixture at a per-utterance SNR drawn
+    # uniformly from this (lo, hi) dB range; targets stay the clean sources.
+    # None = clean mixtures (the reference setting).
+    train_noise_snr_db: tuple | None = None
 
 
 @dataclass(frozen=True)
@@ -202,6 +207,9 @@ def run_id_from_stored(d: dict) -> str:
         tr.pop("valid_quality", None)
     if not tr.get("early_stop_patience", 0):  # 0 = off, pre-growth behavior
         tr.pop("early_stop_patience", None)
+    mdl = d.get("model", {})
+    if not mdl.get("train_noise_snr_db"):  # None = clean, pre-growth behavior
+        mdl.pop("train_noise_snr_db", None)
     blob = json.dumps(d, sort_keys=True).encode()
     return hashlib.sha256(blob).hexdigest()[:12]
 

@@ -492,7 +492,59 @@ def stage_ema_ab():
         log_result(out)
 
 
+def stage_noise_ab():
+    """Noise-robust training A/B (model.train_noise_snr_db, round-3 engine
+    feature): c6 exp4 trained WITH in-graph mixture noise (5-20 dB SNR) vs
+    the committed clean-trained flagship, both evaluated on (a) clean v2test
+    and (b) v2test corrupted at 5 dB SNR.  Expectation: the noisy-trained
+    model gives up a little clean quality and wins big under noise.
+    `noise_ab [steps]`."""
+    import dataclasses as dc
+
+    import numpy as np
+
+    from amss_tpu.configs.recipes import c6_tasnet
+    from amss_tpu.infer.evaluate import evaluate_separation
+    from amss_tpu.infer.streaming import StreamingSeparator
+    from amss_tpu.train.engine import load_model_from_run
+
+    i = sys.argv.index("noise_ab")
+    steps = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 else 16000
+    r = sized(c6_tasnet(), steps, expansion=4)
+    r = dc.replace(r, model=dc.replace(r.model, train_noise_snr_db=(5.0, 20.0)))
+    tr, state, secs = train(r, V2MAX)
+
+    def eval_model(model, params, tag, snr_db=None, n=200):
+        mixes, refs = test_mixtures(V2, 2, n)
+        if snr_db is not None:
+            rng = np.random.default_rng(1234)
+            for k in range(len(mixes)):
+                m = mixes[k]
+                noise = rng.standard_normal(m.shape).astype(np.float32)
+                scale = (np.sqrt(np.mean(m**2)) * 10.0 ** (-snr_db / 20.0)
+                         / max(np.sqrt(np.mean(noise**2)), 1e-9))
+                mixes[k] = m + noise * scale
+        sep = StreamingSeparator(model, params)
+        est = sep.separate_all(mixes, max_batch=8)
+        out = evaluate_separation(np.stack(est), np.stack(refs),
+                                  np.stack(mixes), per_utt=True)
+        out.pop("si_sdri_per_utt", None)
+        out.pop("sdri_per_utt", None)
+        out.update(stage=tag, steps=steps, run_dir=tr.dir)
+        log_result(out)
+
+    eval_model(tr.model, state["params"],
+               f"noise_ab_{steps // 1000}k_noisytrain_clean")
+    eval_model(tr.model, state["params"],
+               f"noise_ab_{steps // 1000}k_noisytrain_snr5", snr_db=5.0)
+    m0, p0 = load_model_from_run(os.path.join(REPO, "checkpoints",
+                                              "c6_flagship"))
+    eval_model(m0, p0, "noise_ab_cleanflagship_clean")
+    eval_model(m0, p0, "noise_ab_cleanflagship_snr5", snr_db=5.0)
+
+
 STAGES = {
+    "noise_ab": stage_noise_ab,
     "ema_ab": stage_ema_ab,
     "c3_modern": stage_c3_modern,
     "dpt_probe": stage_dpt_probe,
