@@ -318,6 +318,7 @@ def cmd_export(args):
             platforms=tuple(args.platforms),
             sample_rate=recipe.sample_rate,
             recipe_dict=recipe_to_dict(recipe),
+            quantize=args.quantize,
         )
     else:
         export_serving(
@@ -329,6 +330,7 @@ def cmd_export(args):
             platforms=tuple(args.platforms),
             sample_rate=recipe.sample_rate,
             recipe_dict=recipe_to_dict(recipe),
+            quantize=args.quantize,
         )
     sizes = {
         f: os.path.getsize(os.path.join(args.out, f))
@@ -595,6 +597,10 @@ def main(argv=None):
                            help="realtime export: samples per push")
             p.add_argument("--rt-streams", type=int, default=1,
                            help="realtime export: concurrent streams per push")
+            p.add_argument("--quantize", choices=["int8"], default=None,
+                           help="int8-compress the params blob (~4x smaller "
+                                "artifact; infer/quantize.py — loader "
+                                "dequantizes, programs unchanged)")
         p.set_defaults(fn=fn)
 
     p = sub.add_parser(

@@ -44,6 +44,44 @@ def _host(tree):
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
 
 
+def _write_params(out_dir: str, host_params, quantize: str | None) -> dict:
+    """Write params.msgpack (optionally int8-compressed) and return the meta
+    fields describing how it was stored."""
+    import flax.serialization as fser
+
+    if quantize not in (None, "int8"):
+        raise ValueError(f"unsupported quantize={quantize!r} (int8 or None)")
+    blob, extra = host_params, {}
+    if quantize == "int8":
+        from amss_tpu.infer.quantize import (
+            quantize_state_dict,
+            quantized_fraction,
+        )
+
+        blob = quantize_state_dict(host_params)
+        extra = {
+            "params_quantize": "int8",
+            "params_bytes_saved_frac": round(quantized_fraction(blob), 4),
+        }
+    with open(os.path.join(out_dir, "params.msgpack"), "wb") as f:
+        f.write(fser.to_bytes(blob))
+    return extra
+
+
+def _restore_params(path: str, meta: dict):
+    """Read params.msgpack back to the float32 state dict the exported
+    programs expect, dequantizing if the artifact was int8-compressed."""
+    import flax.serialization as fser
+
+    with open(os.path.join(path, "params.msgpack"), "rb") as f:
+        params = fser.msgpack_restore(f.read())
+    if meta.get("params_quantize") == "int8":
+        from amss_tpu.infer.quantize import dequantize_state_dict
+
+        params = dequantize_state_dict(params)
+    return params
+
+
 def export_serving(
     model,
     params,
@@ -55,6 +93,7 @@ def export_serving(
     sample_rate: int = 8000,
     recipe_dict: dict | None = None,
     separate_kwargs: dict | None = None,
+    quantize: str | None = None,
 ) -> str:
     """Lower ``model.separate`` to StableHLO for each (length, batch) bucket
     and write a self-contained serving directory.  Returns ``out_dir``.
@@ -62,6 +101,8 @@ def export_serving(
     ``model.separate`` must accept (params, mix [B,T], frame_mask [B,T']) —
     the StreamingSeparator contract.  Params stay function INPUTS (stored
     once in params.msgpack), so the .jaxexp files hold only the program.
+    ``quantize="int8"`` stores the params blob int8-compressed (~4x smaller;
+    infer/quantize.py) — the programs are unchanged, the loader dequantizes.
     """
     import dataclasses
 
@@ -100,12 +141,12 @@ def export_serving(
             f.write(exp.serialize())
         buckets.append({"length": t, "frames": nf, "file": fname})
 
-    with open(os.path.join(out_dir, "params.msgpack"), "wb") as f:
-        f.write(fser.to_bytes(host_params))
+    q_meta = _write_params(out_dir, host_params, quantize)
 
     meta = {
         "format_version": _FORMAT_VERSION,
         "kind": "offline",
+        **q_meta,
         "jax_version": jax.__version__,
         "platforms": list(platforms),
         "batch": int(batch),
@@ -131,6 +172,7 @@ def export_realtime(
     sample_rate: int = 8000,
     long_stream: bool = False,
     recipe_dict: dict | None = None,
+    quantize: str | None = None,
 ) -> str:
     """AOT-export the causal low-latency streaming path (infer/realtime.py):
     TWO StableHLO programs — ``init() -> stream state`` (zeros built in-graph,
@@ -184,12 +226,12 @@ def export_realtime(
     step_name = f"realtime_step_c{chunk_samples}_b{n_streams}.jaxexp"
     with open(os.path.join(out_dir, step_name), "wb") as f:
         f.write(exp_step.serialize())
-    with open(os.path.join(out_dir, "params.msgpack"), "wb") as f:
-        f.write(fser.to_bytes(host_params))
+    q_meta = _write_params(out_dir, host_params, quantize)
 
     meta = {
         "format_version": _FORMAT_VERSION,
         "kind": "realtime",
+        **q_meta,
         "jax_version": jax.__version__,
         "platforms": list(platforms),
         "chunk_samples": int(chunk_samples),
@@ -238,10 +280,7 @@ class ServingArtifact:
                 f"artifact at {path} is kind={self.meta['kind']!r}; use "
                 "RealtimeArtifact for realtime exports"
             )
-        import flax.serialization as fser
-
-        with open(os.path.join(path, "params.msgpack"), "rb") as f:
-            self.params = fser.msgpack_restore(f.read())
+        self.params = _restore_params(path, self.meta)
         self.front = FrontConfig(**self.meta["front"])
         self.batch = self.meta["batch"]
         self.n_speakers = self.meta["n_speakers"]
@@ -433,10 +472,7 @@ class RealtimeArtifact:
                 f"format_version {self.meta['format_version']} != "
                 f"{_FORMAT_VERSION}"
             )
-        import flax.serialization as fser
-
-        with open(os.path.join(path, "params.msgpack"), "rb") as f:
-            self.params = fser.msgpack_restore(f.read())
+        self.params = _restore_params(path, self.meta)
         files = self.meta["files"]
         with open(os.path.join(path, files["init"]), "rb") as f:
             self._init = jexport.deserialize(f.read())
