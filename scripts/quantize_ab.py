@@ -3,7 +3,7 @@ flagship (checkpoints/c6_flagship) — the measured-quality row behind the
 "int8 serving artifacts" PARITY.md entry.  Runs on CPU (inference only);
 the v2test mixture convention (Mixer seed 0, test split) with bootstrap CIs.
 
-Usage: python scripts/quantize_ab.py [ckpt_dir] [n]
+Usage: python scripts/quantize_ab.py [ckpt_dir] [n] [cpu|axon]
 """
 
 import json
@@ -13,7 +13,13 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import jax  # noqa: E402
 import numpy as np  # noqa: E402
+
+if (sys.argv[3] if len(sys.argv) > 3 else "cpu") == "cpu":
+    # the axon sitecustomize force-sets jax_platforms; the env var is not
+    # enough (verify skill gotcha) — without this, a down tunnel hangs us
+    jax.config.update("jax_platforms", "cpu")
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 RESULTS = os.path.join(REPO, "quality_results.jsonl")
