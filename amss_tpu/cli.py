@@ -76,6 +76,17 @@ def _add_train_overrides(p: argparse.ArgumentParser):
                         "in-graph with white noise at a per-utterance SNR "
                         "drawn uniformly from [LO, HI] dB (targets stay "
                         "clean); omit for the reference's clean setting")
+    p.add_argument("--train-reverb-rt60", type=float, nargs=2,
+                   metavar=("LO", "HI"),
+                   help="reverb-robust training: convolve each source with "
+                        "its own synthetic RIR, RT60 drawn uniformly from "
+                        "[LO, HI] SECONDS (converted to samples at the "
+                        "recipe's rate); targets stay dry — trains joint "
+                        "dereverberation + separation")
+    p.add_argument("--train-reverb-drr", type=float, nargs=2,
+                   metavar=("LO", "HI"),
+                   help="direct-to-reverb ratio draw in dB for synthetic "
+                        "RIRs (default 0 10; needs --train-reverb-rt60)")
 
 
 def _build_recipe(args, store):
@@ -142,9 +153,21 @@ def _build_recipe(args, store):
                 tuple(args.train_noise_snr)
                 if getattr(args, "train_noise_snr", None) is not None else None
             ),
+            "train_reverb_rt60": (
+                tuple(int(round(s * recipe.sample_rate))
+                      for s in args.train_reverb_rt60)
+                if getattr(args, "train_reverb_rt60", None) is not None
+                else None
+            ),
+            "train_reverb_drr_db": (
+                tuple(args.train_reverb_drr)
+                if getattr(args, "train_reverb_drr", None) is not None else None
+            ),
         }.items()
         if v is not None
     }
+    if "train_reverb_drr_db" in mover and "train_reverb_rt60" not in mover:
+        raise SystemExit("--train-reverb-drr needs --train-reverb-rt60")
     if tover:
         recipe = dataclasses.replace(recipe, train=dataclasses.replace(recipe.train, **tover))
     if sover or mover:
@@ -291,7 +314,52 @@ def cmd_separate(args):
     store = SpeakerStore(args.corpus)
     model, params, recipe = _load_for_inference(args, store)
     waves = [_read_wav(p)[0] for p in args.wav]
-    sep = StreamingSeparator(model, params, sample_rate=recipe.sample_rate)
+    if getattr(args, "num_speakers", None) == "auto":
+        # Blind speaker count (infer/count.py): estimate k per mixture from
+        # the embedding spectrum, then cluster each group with its own k.
+        # Clustering models only — mask-head models emit a fixed S.
+        import numpy as np
+
+        from amss_tpu.infer.count import count_speakers
+
+        if not (hasattr(model, "embed") or hasattr(model, "heads")):
+            raise SystemExit(
+                "--num-speakers auto needs an embedding model (dpcl/chimera); "
+                f"recipe {args.recipe!r} is kind {recipe.model.kind!r}"
+            )
+        ks = [
+            int(count_speakers(model, params, w[None, :],
+                               k_max=args.max_speakers)[0])
+            for w in waves
+        ]
+        print(json.dumps({"estimated_speakers": dict(zip(args.wav, ks))}))
+        ests: list = [None] * len(waves)
+        rtfs = []
+        for k in sorted(set(ks)):
+            idx = [i for i, ki in enumerate(ks) if ki == k]
+            sep = StreamingSeparator(
+                model, params, sample_rate=recipe.sample_rate,
+                separate_kwargs={"n_speakers": k},
+            )
+            for i, est in zip(idx, sep.separate_all([waves[i] for i in idx])):
+                ests[i] = est
+            rtfs.append(sep.meter.rtf)
+        _write_separated(args.wav, ests, args.out, recipe.sample_rate,
+                         max(rtfs))
+        return
+    kw = {}
+    if getattr(args, "num_speakers", None) not in (None, "auto"):
+        k = int(args.num_speakers)
+        if k != recipe.model.nb_speakers:
+            if not hasattr(model, "embed"):
+                raise SystemExit(
+                    f"recipe {args.recipe!r} ({recipe.model.kind}) emits a "
+                    f"fixed {recipe.model.nb_speakers} sources; only "
+                    "clustering models (dpcl) separate at a different k"
+                )
+            kw["n_speakers"] = k
+    sep = StreamingSeparator(model, params, sample_rate=recipe.sample_rate,
+                             separate_kwargs=kw)
     ests = sep.separate_all(waves)
     _write_separated(args.wav, ests, args.out, recipe.sample_rate,
                      sep.meter.rtf)
@@ -572,6 +640,14 @@ def main(argv=None):
         if name == "separate":
             p.add_argument("--wav", nargs="+", required=True)
             p.add_argument("--out", default="separated")
+            p.add_argument("--num-speakers", default=None,
+                           help="output source count: an int (clustering "
+                                "models separate at any k with the same "
+                                "weights) or 'auto' (blind per-mixture "
+                                "eigengap estimate, infer/count.py); default "
+                                "= the recipe's nb_speakers")
+            p.add_argument("--max-speakers", type=int, default=4,
+                           help="upper bound for --num-speakers auto")
         if name == "profile":
             p.add_argument("--profile-steps", type=int, default=20)
             p.add_argument("--trace-dir", default="/tmp/amss_trace")

@@ -164,6 +164,28 @@ class SeparatorBase:
         )  # [B, T', 2H]
 
     # -- shared pipeline pieces ----------------------------------------------
+    def observed_mix(self, sources: jnp.ndarray, rng=None) -> jnp.ndarray:
+        """The mixture the model OBSERVES at train time: sum of sources, with
+        optional in-graph corruption (train rng given, i.e. not at eval):
+        per-source synthetic reverberation (cfg.train_reverb_rt60,
+        front.reverberate_sources) then additive noise at a drawn SNR
+        (cfg.train_noise_snr_db, front.corrupt_mix).  Loss targets always
+        stay the clean/dry sources."""
+        c = self.cfg
+        if c.train_reverb_rt60 is not None and rng is not None:
+            from amss_tpu.models.front import reverberate_sources
+
+            wet = reverberate_sources(
+                sources, rng, tuple(c.train_reverb_rt60),
+                tuple(c.train_reverb_drr_db),
+            )
+            mix = jnp.sum(wet, axis=1)
+        else:
+            mix = jnp.sum(sources, axis=1)
+        if c.train_noise_snr_db is not None and rng is not None:
+            mix = corrupt_mix(mix, rng, tuple(c.train_noise_snr_db))
+        return mix
+
     def encode_mix_and_sources(self, params: dict, sources: jnp.ndarray,
                                rng=None):
         """Device-side mixing + analysis of mixture and sources.
@@ -171,12 +193,11 @@ class SeparatorBase:
         sources: [B, S, T].  Returns (mix [B,T], mix codes, aux,
         src codes [B,S,T',F], Y, weights, src aux).  The mixture is formed ON
         DEVICE (BASELINE.json:5): the host ships only per-speaker chunks.
-        With cfg.train_noise_snr_db set and a train rng given, the observed
-        mixture is corrupted in-graph (front.corrupt_mix) — targets and
-        ideal masks stay clean."""
-        mix = jnp.sum(sources, axis=1)
-        if self.cfg.train_noise_snr_db is not None and rng is not None:
-            mix = corrupt_mix(mix, rng, tuple(self.cfg.train_noise_snr_db))
+        With cfg.train_noise_snr_db / cfg.train_reverb_rt60 set and a train
+        rng given, the observed mixture is corrupted in-graph
+        (front.corrupt_mix / front.reverberate_sources) — targets and
+        ideal masks stay clean/dry."""
+        mix = self.observed_mix(sources, rng)
         codes, aux = self.front.encode(params["front"], mix)
         src_codes, src_aux = self.front.encode(params["front"], sources)
         y = ideal_binary_mask(src_codes)  # [B, T', F, S]

@@ -109,14 +109,20 @@ class DPCLModel(SeparatorBase):
         frame_mask: jnp.ndarray | None = None,
         soft_masks: bool = True,
         tau: float = 0.5,
+        n_speakers: int | None = None,
     ):
         """mix [B, T] -> separated [B, S, T], fully on device (no host k-means).
 
         frame_mask [B, T'] marks valid (non-padding) frames for bucketed
         variable-length batches (BASELINE.json:11): padded frames are excluded
         from normalization, recurrence, and clustering.
+
+        n_speakers overrides cfg.nb_speakers as the cluster count — the
+        embedding head is count-agnostic, so the SAME trained weights separate
+        any k (pair with infer.count.count_speakers for blind auto-k).
         """
         c = self.cfg
+        k = n_speakers or c.nb_speakers
         length = mix.shape[-1]
         codes, aux = self.front.encode(params["front"], mix)
         feats = self.front.features(params["front"], codes)
@@ -127,17 +133,15 @@ class DPCLModel(SeparatorBase):
             w = w * frame_mask[..., None]
         flat_v = v.reshape(b, -1, c.sep.embed_dim)
         flat_w = w.reshape(b, -1)
-        cent, assign = kmeans(
-            flat_v, k=c.nb_speakers, iters=kmeans_iters, weights=flat_w
-        )
+        cent, assign = kmeans(flat_v, k=k, iters=kmeans_iters, weights=flat_w)
         if soft_masks:
             from amss_tpu.ops.kmeans import soft_assignments
 
             masks = soft_assignments(flat_v, cent, tau=tau).reshape(
-                *codes.shape, c.nb_speakers
+                *codes.shape, k
             )
         else:
-            masks = _one_hot_last(assign, c.nb_speakers, codes.dtype).reshape(
-                *codes.shape, c.nb_speakers
+            masks = _one_hot_last(assign, k, codes.dtype).reshape(
+                *codes.shape, k
             )
         return self.apply_masks_and_decode(params, codes, aux, masks, length)

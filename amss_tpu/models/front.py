@@ -122,6 +122,59 @@ def corrupt_mix(
     return mix + noise * (target_rms / noise_rms)[:, None]
 
 
+def reverberate_sources(
+    sources: jnp.ndarray,  # [B, S, T]
+    rng,
+    rt60_range: tuple[float, float],  # in SAMPLES (e.g. (800, 3200) @ 8 kHz)
+    drr_db_range: tuple[float, float] = (0.0, 10.0),
+    rir_len: int | None = None,
+) -> jnp.ndarray:
+    """Training-time reverberation (beyond-reference, WHAMR-style): convolve
+    each source with its OWN synthetic room impulse response — unit direct
+    path at lag 0 plus an exponentially-decaying Gaussian tail whose -60 dB
+    point (RT60, drawn uniformly per source in ``rt60_range`` samples) sets
+    the decay and whose energy is scaled to a drawn direct-to-reverb ratio
+    (``drr_db_range``).  The caller sums the result into the observed mixture;
+    targets stay the DRY sources, so the model learns joint
+    dereverberation + separation.  In-graph and deterministic in (seed, step)
+    like `corrupt_mix`; the convolution is one depthwise `lax.conv` (B·S
+    groups), static shapes throughout."""
+    import jax
+
+    b, s, t = sources.shape
+    lo, hi = rt60_range
+    if rir_len is None:
+        # tail cut at the -30 dB point of the longest draw (later taps are
+        # inaudible under the drawn DRRs); capped for conv cost and by T
+        rir_len = int(min(t, 4096, max(2, int(hi) // 2)))
+    kt, kd, kn = jax.random.split(jax.random.fold_in(rng, 0x4EE4B), 3)
+    rt60 = jax.random.uniform(kt, (b, s, 1), minval=lo, maxval=hi)
+    drr_db = jax.random.uniform(
+        kd, (b, s, 1), minval=drr_db_range[0], maxval=drr_db_range[1]
+    )
+    n = jnp.arange(1, rir_len, dtype=sources.dtype)[None, None, :]
+    decay = 10.0 ** (-3.0 * n / rt60)  # amplitude: -60 dB at lag rt60
+    tail = jax.random.normal(kn, (b, s, rir_len - 1), sources.dtype) * decay
+    tail_energy = jnp.sum(tail**2, axis=-1, keepdims=True)
+    # direct-path energy is 1; scale the tail so direct/reverb == drawn DRR
+    tail = tail * jnp.sqrt(10.0 ** (-drr_db / 10.0) / (tail_energy + _EPS))
+    h = jnp.concatenate([jnp.ones((b, s, 1), sources.dtype), tail], axis=-1)
+    h = h / jnp.sqrt(jnp.sum(h**2, axis=-1, keepdims=True))  # unit energy
+    # causal convolution y[t] = sum_m h[m] x[t-m] as a depthwise correlation
+    # with the kernel flipped and full left padding
+    x = sources.reshape(1, b * s, t)
+    w = jnp.flip(h, axis=-1).reshape(b * s, 1, rir_len)
+    y = jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(1,),
+        padding=[(rir_len - 1, 0)],
+        feature_group_count=b * s,
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    )
+    return y.reshape(b, s, t).astype(sources.dtype)
+
+
 def ideal_binary_mask(src_codes: jnp.ndarray) -> jnp.ndarray:
     """Dominant-source one-hot mask.  src_codes [B, S, T', F] -> Y [B, T', F, S].
 

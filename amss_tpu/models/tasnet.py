@@ -65,14 +65,10 @@ class TasNetModel(SeparatorBase):
 
     def loss(self, params: dict, sources: jnp.ndarray, rng=None):
         """Negative mean PIT SI-SDR of separated waveforms [B, S, T].  With
-        cfg.train_noise_snr_db set, the observed mixture is corrupted
-        in-graph (front.corrupt_mix) — the model learns denoise+separate
-        against clean targets."""
-        mix = jnp.sum(sources, axis=1)
-        if self.cfg.train_noise_snr_db is not None and rng is not None:
-            from amss_tpu.models.front import corrupt_mix
-
-            mix = corrupt_mix(mix, rng, tuple(self.cfg.train_noise_snr_db))
+        cfg.train_noise_snr_db / cfg.train_reverb_rt60 set, the observed
+        mixture is corrupted in-graph (base.observed_mix) — the model learns
+        denoise/dereverb+separate against clean dry targets."""
+        mix = self.observed_mix(sources, rng)
         est = self._forward(params, mix, rng=rng)
         sdr, _ = pit_si_sdr(est, sources)
         l = -jnp.mean(sdr)

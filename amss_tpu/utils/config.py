@@ -104,6 +104,14 @@ class ModelConfig:
     # uniformly from this (lo, hi) dB range; targets stay the clean sources.
     # None = clean mixtures (the reference setting).
     train_noise_snr_db: tuple | None = None
+    # Training-time reverberation (beyond reference, WHAMR-style): each source
+    # is convolved with its own synthetic RIR (unit direct path + decaying
+    # Gaussian tail) before mixing; targets stay the DRY sources, training
+    # joint dereverberation + separation.  (lo, hi) RT60 draw in SAMPLES
+    # (e.g. (800, 3200) = 0.1-0.4 s @ 8 kHz); None = anechoic (reference).
+    train_reverb_rt60: tuple | None = None
+    # direct-to-reverb ratio draw (dB) for the synthetic RIR tails
+    train_reverb_drr_db: tuple = (0.0, 10.0)
 
 
 @dataclass(frozen=True)
@@ -210,6 +218,9 @@ def run_id_from_stored(d: dict) -> str:
     mdl = d.get("model", {})
     if not mdl.get("train_noise_snr_db"):  # None = clean, pre-growth behavior
         mdl.pop("train_noise_snr_db", None)
+    if not mdl.get("train_reverb_rt60"):  # None = anechoic, pre-growth behavior
+        mdl.pop("train_reverb_rt60", None)
+        mdl.pop("train_reverb_drr_db", None)
     blob = json.dumps(d, sort_keys=True).encode()
     return hashlib.sha256(blob).hexdigest()[:12]
 

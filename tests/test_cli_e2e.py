@@ -69,6 +69,20 @@ def test_cli_dress_rehearsal(wav_tree, tmp_path, capsys):
     wavs = sorted(os.listdir(sep_dir))
     assert wavs == ["mix_spk0.wav", "mix_spk1.wav"]
 
+    # L6: blind speaker-count path — auto-k estimates per mixture, groups,
+    # and clusters each group at its own k (infer/count.py)
+    auto_dir = str(tmp_path / "sep_auto")
+    main(["separate", *common, "--run-dir", run_dir, "--wav", mix_wav,
+          "--out", auto_dir, "--num-speakers", "auto", "--max-speakers", "3"])
+    out = capsys.readouterr().out
+    est = next(json.loads(l) for l in out.splitlines()
+               if l.startswith('{"estimated_speakers"'))["estimated_speakers"]
+    k_hat = est[mix_wav]
+    assert 1 <= k_hat <= 3
+    assert sorted(os.listdir(auto_dir)) == [
+        f"mix_spk{s}.wav" for s in range(k_hat)
+    ]
+
     # 5.1: profile train steps through the CLI (regression guard: the step
     # fn's signature grew corpus_flat in round 3 and profile wasn't updated).
     # --accum-steps/--ema-decay ride along: profile must handle the EMA
