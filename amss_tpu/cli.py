@@ -252,6 +252,7 @@ def _load_for_inference(args, store):
 
 def cmd_evaluate(args):
     import numpy as np
+    from jax.numpy import asarray as jnp_asarray
 
     from amss_tpu.data.mixer import Mixer
     from amss_tpu.data.store import SpeakerStore
@@ -271,7 +272,22 @@ def cmd_evaluate(args):
     for i in range(args.n_mixtures):
         hb = mixer.batch("test", i, 1)
         refs.append(hb.sources[0])
-        m = hb.sources[0].sum(0)
+        if getattr(args, "reverb_rt60", None) is not None:
+            # reverberant eval: per-source synthetic rooms at a pinned RT60,
+            # deterministic per mixture; metrics stay against the DRY refs
+            import jax
+
+            from amss_tpu.models.front import reverberate_sources
+
+            rt = int(round(args.reverb_rt60 * recipe.sample_rate))
+            wet = reverberate_sources(
+                jnp_asarray(hb.sources[:1]),
+                jax.random.fold_in(jax.random.PRNGKey(1234), i),
+                (rt, rt),
+            )
+            m = np.asarray(wet[0]).sum(0)
+        else:
+            m = hb.sources[0].sum(0)
         if getattr(args, "noise_snr", None) is not None:
             noise = noise_rng.standard_normal(m.shape).astype(np.float32)
             scale = (np.sqrt(np.mean(m**2)) * 10.0 ** (-args.noise_snr / 20.0)
@@ -637,6 +653,11 @@ def main(argv=None):
                                 "at this SNR (dB) before separation — the "
                                 "noisy-robustness evaluation; metrics stay "
                                 "against the clean references")
+            p.add_argument("--reverb-rt60", type=float, default=None,
+                           help="reverberate each test source with its own "
+                                "synthetic RIR at this RT60 (seconds) before "
+                                "mixing — the reverb-robustness evaluation; "
+                                "metrics stay against the dry references")
         if name == "separate":
             p.add_argument("--wav", nargs="+", required=True)
             p.add_argument("--out", default="separated")

@@ -543,7 +543,64 @@ def stage_noise_ab():
     eval_model(m0, p0, "noise_ab_cleanflagship_snr5", snr_db=5.0)
 
 
+def stage_reverb_ab():
+    """Reverb-robust training A/B (model.train_reverb_rt60, round-3 feature):
+    c6 exp4 trained WITH in-graph per-source synthetic RIRs (RT60 0.1-0.4 s)
+    vs the committed dry-trained flagship, both evaluated on (a) dry v2test
+    and (b) v2test reverberated at RT60 0.3 s.  Expectation mirrors noise_ab:
+    the reverb-trained model wins big on reverberant mixtures.
+    `reverb_ab [steps]`."""
+    import dataclasses as dc
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from amss_tpu.configs.recipes import c6_tasnet
+    from amss_tpu.infer.evaluate import evaluate_separation
+    from amss_tpu.infer.streaming import StreamingSeparator
+    from amss_tpu.models.front import reverberate_sources
+    from amss_tpu.train.engine import load_model_from_run
+
+    i = sys.argv.index("reverb_ab")
+    steps = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 else 16000
+    r = sized(c6_tasnet(), steps, expansion=4)
+    r = dc.replace(r, model=dc.replace(r.model,
+                                       train_reverb_rt60=(800, 3200)))
+    tr, state, secs = train(r, V2MAX)
+
+    def eval_model(model, params, tag, rt60_s=None, n=200):
+        mixes, refs = test_mixtures(V2, 2, n)
+        if rt60_s is not None:
+            rt = int(round(rt60_s * 8000))
+            for k in range(len(mixes)):
+                wet = reverberate_sources(
+                    jnp.asarray(refs[k][None]),
+                    jax.random.fold_in(jax.random.PRNGKey(1234), k),
+                    (rt, rt),
+                )
+                mixes[k] = np.asarray(wet[0]).sum(0)
+        sep = StreamingSeparator(model, params)
+        est = sep.separate_all(mixes, max_batch=8)
+        out = evaluate_separation(np.stack(est), np.stack(refs),
+                                  np.stack(mixes), per_utt=True)
+        out.pop("si_sdri_per_utt", None)
+        out.pop("sdri_per_utt", None)
+        out.update(stage=tag, steps=steps, run_dir=tr.dir)
+        log_result(out)
+
+    eval_model(tr.model, state["params"],
+               f"reverb_ab_{steps // 1000}k_revtrain_dry")
+    eval_model(tr.model, state["params"],
+               f"reverb_ab_{steps // 1000}k_revtrain_rt300", rt60_s=0.3)
+    m0, p0 = load_model_from_run(os.path.join(REPO, "checkpoints",
+                                              "c6_flagship"))
+    eval_model(m0, p0, "reverb_ab_dryflagship_dry")
+    eval_model(m0, p0, "reverb_ab_dryflagship_rt300", rt60_s=0.3)
+
+
 STAGES = {
+    "reverb_ab": stage_reverb_ab,
     "noise_ab": stage_noise_ab,
     "ema_ab": stage_ema_ab,
     "c3_modern": stage_c3_modern,
