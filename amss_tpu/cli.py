@@ -87,6 +87,12 @@ def _add_train_overrides(p: argparse.ArgumentParser):
                    metavar=("LO", "HI"),
                    help="direct-to-reverb ratio draw in dB for synthetic "
                         "RIRs (default 0 10; needs --train-reverb-rt60)")
+    p.add_argument("--min-speakers", type=int,
+                   help="count-diverse training (clustering recipes only): "
+                        "each sample draws an active speaker count uniformly "
+                        "from {MIN..nb_speakers}, the rest zeroed in-graph — "
+                        "enables blind speaker counting "
+                        "(separate --num-speakers auto)")
 
 
 def _build_recipe(args, store):
@@ -163,6 +169,7 @@ def _build_recipe(args, store):
                 tuple(args.train_reverb_drr)
                 if getattr(args, "train_reverb_drr", None) is not None else None
             ),
+            "train_min_speakers": getattr(args, "min_speakers", None),
         }.items()
         if v is not None
     }
@@ -187,6 +194,22 @@ def _build_recipe(args, store):
             "--loss-variant sisdr is the enhancement-stage waveform objective "
             f"(recipe enh); model kind {recipe.model.kind!r} trains msa/psa only"
         )
+    ms = recipe.model.train_min_speakers
+    if ms is not None:
+        # PIT waveform losses are degenerate on zero targets (SI-SDR of an
+        # all-zero reference) and L41 ties each source slot to a speaker id —
+        # count-diverse dropout is a clustering-objective feature.
+        if recipe.model.kind not in ("dpcl", "chimera"):
+            raise SystemExit(
+                "--min-speakers trains a variable-count clustering embedding; "
+                f"model kind {recipe.model.kind!r} is not a clustering "
+                "objective (use recipes c1/c4)"
+            )
+        if not 1 <= ms <= recipe.model.nb_speakers:
+            raise SystemExit(
+                f"--min-speakers {ms} must be in [1, nb_speakers="
+                f"{recipe.model.nb_speakers}]"
+            )
     return recipe
 
 

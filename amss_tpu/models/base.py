@@ -196,7 +196,14 @@ class SeparatorBase:
         With cfg.train_noise_snr_db / cfg.train_reverb_rt60 set and a train
         rng given, the observed mixture is corrupted in-graph
         (front.corrupt_mix / front.reverberate_sources) — targets and
-        ideal masks stay clean/dry."""
+        ideal masks stay clean/dry.  With cfg.train_min_speakers set, a
+        per-sample active count is drawn and trailing sources are zeroed
+        BEFORE mixing and target construction (front.drop_sources) — here
+        targets change too: count-diverse clustering training."""
+        if self.cfg.train_min_speakers is not None and rng is not None:
+            from amss_tpu.models.front import drop_sources
+
+            sources = drop_sources(sources, rng, self.cfg.train_min_speakers)
         mix = self.observed_mix(sources, rng)
         codes, aux = self.front.encode(params["front"], mix)
         src_codes, src_aux = self.front.encode(params["front"], sources)

@@ -122,6 +122,31 @@ def corrupt_mix(
     return mix + noise * (target_rms / noise_rms)[:, None]
 
 
+def drop_sources(
+    sources: jnp.ndarray,  # [B, S, T]
+    rng,
+    min_speakers: int,
+) -> jnp.ndarray:
+    """Count-diverse training (beyond reference — the reference fixes
+    nb_speakers per experiment, SURVEY.md §2.3): draw a per-sample active
+    speaker count k ~ U{min_speakers..S} and zero sources with index >= k,
+    in-graph.  Zeroed sources receive (almost) no bins in the ideal binary
+    mask and VAD weights kill all-silent bins, so the clustering objective
+    (DPCL/Chimera DC head) trains the embedding geometry to form a VARIABLE
+    number of clusters — the property blind speaker counting
+    (infer/count.py eigengap) needs.  Speaker order inside a batch row is
+    already a uniform draw (data/mixer.py plan), so zeroing the TAIL indexes
+    is an unbiased subset draw.  Deterministic in (seed, step) like dropout."""
+    import jax
+
+    b, s, _ = sources.shape
+    k = jax.random.randint(
+        jax.random.fold_in(rng, 0xC0_DE7), (b,), min_speakers, s + 1
+    )
+    active = (jnp.arange(s)[None, :] < k[:, None]).astype(sources.dtype)
+    return sources * active[:, :, None]
+
+
 def reverberate_sources(
     sources: jnp.ndarray,  # [B, S, T]
     rng,

@@ -112,6 +112,12 @@ class ModelConfig:
     train_reverb_rt60: tuple | None = None
     # direct-to-reverb ratio draw (dB) for the synthetic RIR tails
     train_reverb_drr_db: tuple = (0.0, 10.0)
+    # Count-diverse training (beyond reference): per-sample active speaker
+    # count drawn uniformly from {min..nb_speakers}, the rest zeroed in-graph
+    # (front.drop_sources) — trains clustering embeddings whose eigengap
+    # encodes the count (infer/count.py).  Clustering kinds (dpcl/chimera)
+    # only; None = every sample has exactly nb_speakers (reference setting).
+    train_min_speakers: int | None = None
 
 
 @dataclass(frozen=True)
@@ -221,6 +227,8 @@ def run_id_from_stored(d: dict) -> str:
     if not mdl.get("train_reverb_rt60"):  # None = anechoic, pre-growth behavior
         mdl.pop("train_reverb_rt60", None)
         mdl.pop("train_reverb_drr_db", None)
+    if not mdl.get("train_min_speakers"):  # None = fixed count, pre-growth
+        mdl.pop("train_min_speakers", None)
     blob = json.dumps(d, sort_keys=True).encode()
     return hashlib.sha256(blob).hexdigest()[:12]
 

@@ -24,6 +24,14 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+if os.environ.get("AMSS_WAVE_CPU"):
+    # sitecustomize force-sets jax_platforms="axon,cpu" via jax.config at
+    # interpreter start, overriding JAX_PLATFORMS; CPU-safe stages must
+    # override the config itself or they dial the tunnel.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -599,7 +607,69 @@ def stage_reverb_ab():
     eval_model(m0, p0, "reverb_ab_dryflagship_rt300", rt60_s=0.3)
 
 
+def count_accuracy(model, params, corpus, n, ks=(1, 2, 3), k_max=4):
+    """Per-true-k blind-count accuracy + confusion, deterministic test draw."""
+    import jax.numpy as jnp
+
+    from amss_tpu.infer.count import count_speakers
+
+    confusion, acc = {}, {}
+    for true_k in ks:
+        mixes, _ = test_mixtures(corpus, true_k, n)
+        est = np.asarray(count_speakers(
+            model, params, jnp.asarray(np.stack(mixes)), k_max=k_max))
+        confusion[true_k] = {int(k): int(c) for k, c in
+                             zip(*np.unique(est, return_counts=True))}
+        acc[true_k] = float(np.mean(est == true_k))
+    return acc, confusion
+
+
+def stage_count_eval():
+    """Blind speaker-count accuracy (infer/count.py) on TRAINED embeddings,
+    counting mixtures of 1/2/3 speakers from a corpus's test split.  Emits
+    per-true-k accuracy and the confusion matrix.  CPU-safe.
+    `count_eval [run_dir] [n_per_k]` (default: the committed c1 checkpoint —
+    trained on fixed 2-mixes, so counting there is zero-shot)."""
+    from amss_tpu.train.engine import load_model_from_run
+
+    i = sys.argv.index("count_eval")
+    run_dir = sys.argv[i + 1] if len(sys.argv) > i + 1 else \
+        os.path.join(REPO, "checkpoints", "c1_dpcl")
+    n = int(sys.argv[i + 2]) if len(sys.argv) > i + 2 else 50
+    model, params = load_model_from_run(run_dir)
+    acc, confusion = count_accuracy(model, params, V2, n)
+    log_result({"stage": f"count_eval_n{n}", "accuracy": acc,
+                "confusion": confusion,
+                "run_dir": os.path.relpath(run_dir, REPO)})
+
+
+def stage_count_train():
+    """Count-diverse DPCL (train_min_speakers=1, nb_speakers=3, the new
+    in-graph source dropout) on the 500-spk corpus, then the same counting
+    eval stage_count_eval runs on fixed-count embeddings.  The hypothesis
+    from the zero-shot negative (count_eval_n12: everything collapses to
+    k=2): embeddings only encode counts the training distribution contained.
+    Also logs 2-mix blind separation quality so the counting knob's cost to
+    separation is measured, not assumed.  `count_train [steps]`."""
+    import dataclasses as dc
+
+    from amss_tpu.configs.recipes import c1_stft_dpcl
+
+    i = sys.argv.index("count_train")
+    steps = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 else 12000
+    r = sized(c1_stft_dpcl(), steps)
+    r = dc.replace(r, model=dc.replace(r.model, nb_speakers=3,
+                                       train_min_speakers=1))
+    tr, state = run_stage(f"count_train_dpcl_{steps}", r, V2MAX,
+                          evals=(("maxtest3", V2MAX),))
+    acc, confusion = count_accuracy(tr.model, state["params"], V2, 50)
+    log_result({"stage": f"count_train_dpcl_{steps}_counting",
+                "accuracy": acc, "confusion": confusion, "run_dir": tr.dir})
+
+
 STAGES = {
+    "count_train": stage_count_train,
+    "count_eval": stage_count_eval,
     "reverb_ab": stage_reverb_ab,
     "noise_ab": stage_noise_ab,
     "ema_ab": stage_ema_ab,
