@@ -397,8 +397,13 @@ def cmd_separate(args):
                     "clustering models (dpcl) separate at a different k"
                 )
             kw["n_speakers"] = k
+    mesh = None
+    if getattr(args, "mesh_devices", None):
+        from amss_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.mesh_devices)
     sep = StreamingSeparator(model, params, sample_rate=recipe.sample_rate,
-                             separate_kwargs=kw)
+                             separate_kwargs=kw, mesh=mesh)
     ests = sep.separate_all(waves)
     _write_separated(args.wav, ests, args.out, recipe.sample_rate,
                      sep.meter.rtf)
@@ -692,6 +697,12 @@ def main(argv=None):
                                 "= the recipe's nb_speakers")
             p.add_argument("--max-speakers", type=int, default=4,
                            help="upper bound for --num-speakers auto")
+            p.add_argument("--mesh-devices", type=int, default=None,
+                           help="time-parallel long-audio inference: shard "
+                                "over-bucket utterances' chunk axis across "
+                                "this many devices (infer/long.py::"
+                                "separate_long_sharded); default = single "
+                                "device")
         if name == "profile":
             p.add_argument("--profile-steps", type=int, default=20)
             p.add_argument("--trace-dir", default="/tmp/amss_trace")

@@ -96,6 +96,79 @@ def separate_long(
     return stitch_chunks(est, starts, overlap, t, t_pad)
 
 
+def separate_long_sharded(
+    model,
+    params,
+    mix: np.ndarray,  # [T] arbitrary length
+    mesh=None,
+    chunk: int = 65536,
+    overlap: int = 4096,
+    chunk_batch_per_device: int = CHUNK_BATCH,
+    **separate_kwargs,
+) -> np.ndarray:
+    """-> [S, T].  Time-parallel long-audio inference over a device mesh
+    (beyond reference — SURVEY.md §2.7: the reference was single-device).
+
+    The chunk axis IS a batch axis: the [D·CB, chunk] group is sharded over
+    the mesh's ``data`` axis (params replicated), so D devices separate D·CB
+    chunks per dispatch — an hour of audio crosses a pod in one pjit program
+    per group, near-linear in D.  Each chunk is computed entirely on one
+    device; no collectives are needed (the only cross-chunk coupling —
+    speaker alignment + crossfade — is the host-side stitcher both paths
+    share).  Static shapes: one compile per (chunk, mesh) regardless of
+    utterance length, zero-padded last group.
+
+    Exactness: for deterministic mask heads (tasnet) output is bitwise equal
+    to separate_long (tested).  For clustering models (dpcl/chimera) the
+    partitioned compile's different layout can flip bit-level argmax ties
+    inside hard k-means, yielding a different-but-equally-valid clustering
+    for some chunks — same quality, not sample-identical (measured on the
+    8-virtual-device CPU mesh; the stitcher still aligns speaker order)."""
+    from amss_tpu.parallel.mesh import batch_sharding, make_mesh, \
+        replicated_sharding
+
+    mesh = mesh if mesh is not None else make_mesh()
+    t = len(mix)
+    if t <= chunk:
+        est = model.separate(params, jnp.asarray(mix[None]), **separate_kwargs)
+        return np.asarray(est[0])
+
+    overlap = min(overlap, chunk // 4)
+    hop = chunk - overlap
+    n_chunks = -(-max(t - overlap, 1) // hop)
+    t_pad = (n_chunks - 1) * hop + chunk
+    mix_p = np.zeros(t_pad, np.float32)
+    mix_p[:t] = mix
+    starts = [i * hop for i in range(n_chunks)]
+    batch = np.stack([mix_p[s : s + chunk] for s in starts])
+
+    group = len(mesh.devices.flat) * chunk_batch_per_device
+    bsh, rsh = batch_sharding(mesh), replicated_sharding(mesh)
+    cache = model.__dict__.setdefault("_long_mesh_jit_cache", {})
+    key = (chunk, group, tuple(d.id for d in mesh.devices.flat),
+           tuple(sorted(separate_kwargs.items())))
+    if key not in cache:
+        cache[key] = jax.jit(
+            lambda p, m: model.separate(p, m, **separate_kwargs),
+            in_shardings=(rsh, bsh),
+            out_shardings=bsh,
+        )
+    fn = cache[key]
+    params_r = jax.device_put(params, rsh)
+
+    outs = []
+    for g0 in range(0, n_chunks, group):
+        grp = batch[g0 : g0 + group]
+        n_real = grp.shape[0]
+        if n_real < group:
+            grp = np.concatenate(
+                [grp, np.zeros((group - n_real, chunk), np.float32)]
+            )
+        outs.append(np.asarray(fn(params_r, jax.device_put(grp, bsh)))[:n_real])
+    est = np.concatenate(outs)  # [n_chunks, S, chunk]
+    return stitch_chunks(est, starts, overlap, t, t_pad)
+
+
 def stitch_chunks(
     est: np.ndarray,  # [n_chunks, S, chunk] per-chunk separated audio
     starts: list[int],

@@ -70,12 +70,15 @@ class StreamingSeparator:
     """
 
     def __init__(self, model, params, sample_rate: int = 8000,
-                 buckets: BucketSpec | None = None, separate_kwargs: dict | None = None):
+                 buckets: BucketSpec | None = None,
+                 separate_kwargs: dict | None = None, mesh=None):
         self.model = model
         self.params = params
         self.sample_rate = sample_rate
         self.buckets = buckets or BucketSpec()
         self.kw = separate_kwargs or {}
+        self.mesh = mesh  # set: over-bucket utterances go time-parallel
+        # (infer/long.py::separate_long_sharded — chunk axis over the mesh)
         self._jitted: dict[tuple, callable] = {}
         self.meter = RTFMeter()
 
@@ -116,7 +119,7 @@ class StreamingSeparator:
         # Over-bucket utterances: chunked long-form path, full length kept.
         max_bucket = self.buckets.lengths[-1]
         long_idx = [i for i in range(len(waves)) if len(waves[i]) > max_bucket]
-        if long_idx:
+        if long_idx and self.mesh is None:
             # Warm the chunked program on zeros first so first-call XLA compile
             # (minutes through the tunnel) books as compile, not serving time.
             from amss_tpu.infer.long import warm_long
@@ -125,12 +128,19 @@ class StreamingSeparator:
                 self.model, self.params, chunk=max_bucket, **self.kw
             )
         for i in long_idx:
-            from amss_tpu.infer.long import separate_long
+            from amss_tpu.infer.long import separate_long, separate_long_sharded
 
             t0 = time.perf_counter()
-            results[i] = separate_long(
-                self.model, self.params, waves[i], chunk=max_bucket, **self.kw
-            )
+            if self.mesh is not None:
+                results[i] = separate_long_sharded(
+                    self.model, self.params, waves[i], mesh=self.mesh,
+                    chunk=max_bucket, **self.kw
+                )
+            else:
+                results[i] = separate_long(
+                    self.model, self.params, waves[i], chunk=max_bucket,
+                    **self.kw
+                )
             self.meter.compute_seconds += time.perf_counter() - t0
             self.meter.audio_seconds += len(waves[i]) / self.sample_rate
             self.meter.utterances += 1
