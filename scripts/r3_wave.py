@@ -643,6 +643,49 @@ def stage_count_eval():
                 "run_dir": os.path.relpath(run_dir, REPO)})
 
 
+def stage_count_sep_eval():
+    """The full blind-count pipeline measured end-to-end: mixtures of UNKNOWN
+    speaker count (1/2/3 drawn from the test split) -> eigengap count ->
+    separate at the estimated k -> SI-SDRi against the true sources, scored
+    only over correctly-counted mixtures plus count accuracy (a wrong count
+    makes per-source SI-SDR ill-defined; the count error rate IS the other
+    half of the metric).  `count_sep_eval <run_dir> [n_per_k]`.  CPU-safe."""
+    from amss_tpu.train.engine import load_model_from_run
+
+    i = sys.argv.index("count_sep_eval")
+    run_dir = sys.argv[i + 1]
+    n = int(sys.argv[i + 2]) if len(sys.argv) > i + 2 else 32
+    model, params = load_model_from_run(run_dir)
+    out = count_sep_eval_model(model, params, n)
+    out.update(stage=f"count_sep_eval_n{n}",
+               run_dir=os.path.relpath(run_dir, REPO))
+    log_result(out)
+
+
+def count_sep_eval_model(model, params, n: int) -> dict:
+    import jax.numpy as jnp
+
+    from amss_tpu.infer.count import count_speakers
+    from amss_tpu.infer.evaluate import evaluate_separation
+
+    out = {}
+    for true_k in (1, 2, 3):
+        mixes, refs = test_mixtures(V2, true_k, n)
+        mix = jnp.asarray(np.stack(mixes))
+        est_k = np.asarray(count_speakers(model, params, mix, k_max=4))
+        ok = est_k == true_k
+        row = {"count_acc": float(ok.mean())}
+        if ok.any() and true_k > 1:
+            sep = np.asarray(model.separate(params, mix[np.flatnonzero(ok)],
+                                            n_speakers=true_k))
+            r = evaluate_separation(
+                sep, np.stack(refs)[np.flatnonzero(ok)],
+                np.stack(mixes)[np.flatnonzero(ok)])
+            row["si_sdri_when_correct"] = r["si_sdri"]
+        out[f"k{true_k}"] = row
+    return out
+
+
 def stage_count_train():
     """Count-diverse DPCL (train_min_speakers=1, nb_speakers=3, the new
     in-graph source dropout) on the 500-spk corpus, then the same counting
@@ -665,9 +708,13 @@ def stage_count_train():
     acc, confusion = count_accuracy(tr.model, state["params"], V2, 50)
     log_result({"stage": f"count_train_dpcl_{steps}_counting",
                 "accuracy": acc, "confusion": confusion, "run_dir": tr.dir})
+    out = count_sep_eval_model(tr.model, state["params"], 32)
+    out.update(stage=f"count_train_dpcl_{steps}_sep_eval", run_dir=tr.dir)
+    log_result(out)
 
 
 STAGES = {
+    "count_sep_eval": stage_count_sep_eval,
     "count_train": stage_count_train,
     "count_eval": stage_count_eval,
     "reverb_ab": stage_reverb_ab,

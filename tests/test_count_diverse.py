@@ -71,6 +71,24 @@ def test_count_diverse_gated_on_rng():
     assert np.isfinite(float(l_dropped))
 
 
+def test_count_diverse_chimera():
+    """The other clustering kind: Chimera (DC + MI heads) trains with source
+    dropout — both heads see the dropped targets consistently."""
+    from amss_tpu.models.chimera import ChimeraModel
+
+    cfg = dataclasses.replace(_cfg(train_min_speakers=1), kind="chimera")
+    model = ChimeraModel(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    src = jnp.asarray(
+        np.random.default_rng(2).standard_normal((4, 3, 2048)).astype(np.float32)
+    ) * 0.1
+    l_dropped, _ = model.loss(params, src, rng=jax.random.PRNGKey(5))
+    l_fixed, _ = ChimeraModel(dataclasses.replace(cfg, train_min_speakers=None)
+                              ).loss(params, src, rng=jax.random.PRNGKey(5))
+    assert np.isfinite(float(l_dropped))
+    assert abs(float(l_dropped) - float(l_fixed)) > 1e-5
+
+
 def test_count_diverse_grads_finite():
     model = DPCLModel(_cfg(train_min_speakers=1))
     params = model.init(jax.random.PRNGKey(0))
