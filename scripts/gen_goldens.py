@@ -45,6 +45,7 @@ def main():
         c3_l41,
         c4_chimera_3mix,
         c6_tasnet,
+        c7_realtime,
     )
     from amss_tpu.train.engine import make_model
 
@@ -60,6 +61,7 @@ def main():
         # appended round 3 (order matters: each entry consumes rng draws)
         ("c6_dpt", _with_sep(c6_tasnet(), trunk="dpt", chunk_frames=8,
                              heads=4)),
+        ("c7", c7_realtime()),
     ]:
         model = make_model(tiny_model(recipe))
         params = model.init(jax.random.PRNGKey(7))

@@ -31,6 +31,7 @@ def _loss_for(name):
         c3_l41,
         c4_chimera_3mix,
         c6_tasnet,
+        c7_realtime,
     )
     from amss_tpu.train.engine import make_model
 
@@ -50,6 +51,7 @@ def _loss_for(name):
         "c4": c4_chimera_3mix(),
         "c6": c6_tasnet(),
         "c6_dpt": _with_sep(c6_tasnet(), trunk="dpt", chunk_frames=8, heads=4),
+        "c7": c7_realtime(),
     }
     recipe = recipes[name]
     sep = dataclasses.replace(recipe.model.sep, hidden=16, layers=1, embed_dim=4)
@@ -57,7 +59,7 @@ def _loss_for(name):
     params = model.init(jax.random.PRNGKey(7))
     rng = np.random.default_rng(1234)
     # consume draws in the same order as gen_goldens.py
-    order = ["c1", "c2_pretrain", "c2", "c3", "c4", "c6", "c6_dpt"]
+    order = ["c1", "c2_pretrain", "c2", "c3", "c4", "c6", "c6_dpt", "c7"]
     loss = None
     for n in order:
         r = recipes[n]
@@ -74,7 +76,7 @@ def _loss_for(name):
 
 
 @pytest.mark.parametrize(
-    "name", ["c1", "c2_pretrain", "c2", "c3", "c4", "c6", "c6_dpt"]
+    "name", ["c1", "c2_pretrain", "c2", "c3", "c4", "c6", "c6_dpt", "c7"]
 )
 def test_golden(goldens, name, monkeypatch):
     monkeypatch.setenv("AMSS_PALLAS", "0")
