@@ -405,6 +405,27 @@ def main():
     except Exception as e:
         out["realtime_rtf_error"] = repr(e)[:160]
 
+    # Long-form chunked serving (the third serving shape, infer/long.py):
+    # one utterance far beyond the largest bucket through the flagship —
+    # overlap-discard chunks, speaker-stitched; compile booked via warm_long.
+    try:
+        from amss_tpu.infer.long import separate_long, warm_long
+
+        long_s = 16.0 if cpu_fallback else 64.0
+        t_long = int(long_s * SAMPLE_RATE)
+        chunk = 65536
+        mix_long = np.random.default_rng(3).standard_normal(t_long).astype(
+            np.float32) * 0.3
+        warm_long(model6, params6, chunk=chunk)
+        t0 = time.perf_counter()
+        est_long = separate_long(model6, params6, mix_long, chunk=chunk)
+        dt = time.perf_counter() - t0
+        assert est_long.shape == (2, t_long)
+        out["longform_rtf"] = round(dt / long_s, 6)
+        out["longform_audio_s"] = long_s
+    except Exception as e:
+        out["longform_error"] = repr(e)[:160]
+
     # Regression tripwire: compare against the newest recorded driver run
     # (BENCH_r*.json) so a swing in the one driver-captured perf number is
     # flagged IN the json instead of discovered a round later (the r1->r2
