@@ -686,6 +686,37 @@ def count_sep_eval_model(model, params, n: int) -> dict:
     return out
 
 
+def stage_count_cpu():
+    """CPU-scale count-diverse DPCL (tunnel-outage fallback for count_train):
+    c1 arch shrunk to hidden=96/layers=2/embed=16, nb_speakers=3,
+    train_min_speakers=1 on the 30-spk V2 corpus, then the counting and
+    auto-k pipeline evals.  Run with AMSS_WAVE_CPU=1.  `count_cpu [steps]`."""
+    import dataclasses as dc
+
+    from amss_tpu.configs.recipes import c1_stft_dpcl
+
+    i = sys.argv.index("count_cpu")
+    steps = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 else 3000
+    r = c1_stft_dpcl()
+    r = dc.replace(
+        r,
+        train=dc.replace(r.train, steps=steps, batch_size=8,
+                         chunk_samples=8192,
+                         valid_every=max(steps // 5, 1), valid_steps=2),
+        model=dc.replace(r.model, nb_speakers=3, train_min_speakers=1,
+                         sep=dc.replace(r.model.sep, hidden=96, layers=2,
+                                        embed_dim=16)),
+    )
+    tr, state = run_stage(f"count_cpu_dpcl_{steps}", r, V2,
+                          evals=(("v2test3", V2),), n=16)
+    acc, confusion = count_accuracy(tr.model, state["params"], V2, 24)
+    log_result({"stage": f"count_cpu_dpcl_{steps}_counting",
+                "accuracy": acc, "confusion": confusion, "run_dir": tr.dir})
+    out = count_sep_eval_model(tr.model, state["params"], 16)
+    out.update(stage=f"count_cpu_dpcl_{steps}_sep_eval", run_dir=tr.dir)
+    log_result(out)
+
+
 def stage_count_train():
     """Count-diverse DPCL (train_min_speakers=1, nb_speakers=3, the new
     in-graph source dropout) on the 500-spk corpus, then the same counting
@@ -714,6 +745,7 @@ def stage_count_train():
 
 
 STAGES = {
+    "count_cpu": stage_count_cpu,
     "count_sep_eval": stage_count_sep_eval,
     "count_train": stage_count_train,
     "count_eval": stage_count_eval,
