@@ -686,6 +686,77 @@ def count_sep_eval_model(model, params, n: int) -> dict:
     return out
 
 
+def stage_count_rules():
+    """Compare count-decision rules on one model's embedding-Gram spectra:
+    relative eigengap (infer/count.py default), absolute gap, eigenvalue >
+    tau*lam1, eigenvalue > tau*trace (cluster-weight-share reading).  Guides
+    whether the default rule should change — decided on CHIP-trained
+    count-diverse embeddings, not hand-tuned thresholds on weak CPU models.
+    `count_rules <run_dir> [n_per_k]`.  CPU-safe with AMSS_WAVE_CPU=1."""
+    from amss_tpu.train.engine import load_model_from_run
+
+    i = sys.argv.index("count_rules")
+    run_dir = sys.argv[i + 1]
+    n = int(sys.argv[i + 2]) if len(sys.argv) > i + 2 else 24
+    model, params = load_model_from_run(run_dir)
+    out = count_rules_model(model, params, n)
+    out.update(stage=f"count_rules_n{n}",
+               run_dir=os.path.relpath(run_dir, REPO))
+    log_result(out)
+
+
+def count_rules_model(model, params, n: int) -> dict:
+    import jax.numpy as jnp
+
+    from amss_tpu.models.front import vad_weights
+
+    c = model.cfg
+    spectra = {}
+    for true_k in (1, 2, 3):
+        mixes, _ = test_mixtures(V2, true_k, n)
+        mix = jnp.asarray(np.stack(mixes))
+        codes, _ = model.front.encode(params["front"], mix)
+        feats = model.front.features(params["front"], codes)
+        v = model.embed(params, feats, None)
+        w = vad_weights(codes, c.vad_threshold_db)
+        b = v.shape[0]
+        vf = v.reshape(b, -1, v.shape[-1])
+        wf = w.reshape(b, -1)
+        g = jnp.einsum("bne,bnf->bef", vf * wf[..., None], vf)
+        g = g / jnp.maximum(wf.sum(-1), 1e-8)[:, None, None]
+        g = 0.5 * (g + jnp.swapaxes(g, -1, -2))
+        lam = np.asarray(jnp.linalg.eigh(g)[0])[:, ::-1]
+        spectra[true_k] = np.maximum(lam, 0.0)
+
+    kmax = 4
+
+    def acc(rule):
+        return {k: float((rule(lam) == k).mean()) for k, lam in spectra.items()}
+
+    def relgap(lam):
+        top = lam[:, : kmax + 1]
+        return np.argmax((top[:, :-1] - top[:, 1:]) / (top[:, :-1] + 1e-8),
+                         axis=1) + 1
+
+    def absgap(lam):
+        top = lam[:, : kmax + 1]
+        return np.argmax(top[:, :-1] - top[:, 1:], axis=1) + 1
+
+    rules = {"relgap": acc(relgap), "absgap": acc(absgap)}
+    for tau in (0.1, 0.15, 0.2, 0.25, 0.3):
+        rules[f"thresh_lam1_{tau}"] = acc(
+            lambda lam, t=tau: np.clip(
+                (lam[:, :kmax] > t * lam[:, :1]).sum(1), 1, kmax))
+    for tau in (0.05, 0.1, 0.15, 0.2):
+        rules[f"thresh_trace_{tau}"] = acc(
+            lambda lam, t=tau: np.clip(
+                (lam[:, :kmax] > t * lam.sum(1, keepdims=True)).sum(1), 1,
+                kmax))
+    return {"rules": rules,
+            "mean_top5": {k: np.round(l[:, :5].mean(0), 4).tolist()
+                          for k, l in spectra.items()}}
+
+
 def stage_count_cpu():
     """CPU-scale count-diverse DPCL (tunnel-outage fallback for count_train):
     c1 arch shrunk to hidden=96/layers=2/embed=16, nb_speakers=3,
@@ -742,10 +813,14 @@ def stage_count_train():
     out = count_sep_eval_model(tr.model, state["params"], 32)
     out.update(stage=f"count_train_dpcl_{steps}_sep_eval", run_dir=tr.dir)
     log_result(out)
+    out = count_rules_model(tr.model, state["params"], 32)
+    out.update(stage=f"count_train_dpcl_{steps}_rules", run_dir=tr.dir)
+    log_result(out)
 
 
 STAGES = {
     "count_cpu": stage_count_cpu,
+    "count_rules": stage_count_rules,
     "count_sep_eval": stage_count_sep_eval,
     "count_train": stage_count_train,
     "count_eval": stage_count_eval,
