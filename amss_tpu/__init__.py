@@ -28,8 +28,9 @@ def __getattr__(name):
     """Lazy top-level API (keeps `import amss_tpu` free of jax init cost):
 
         amss_tpu.Trainer, amss_tpu.make_model, amss_tpu.StreamingSeparator,
-        amss_tpu.separate_long, amss_tpu.SpeakerStore, amss_tpu.Mixer,
-        amss_tpu.recipes
+        amss_tpu.separate_long, amss_tpu.separate_long_sharded,
+        amss_tpu.RealtimeSeparator, amss_tpu.count_speakers,
+        amss_tpu.SpeakerStore, amss_tpu.Mixer, amss_tpu.recipes
     """
     if name == "Trainer":
         from amss_tpu.train.engine import Trainer
@@ -47,6 +48,18 @@ def __getattr__(name):
         from amss_tpu.infer.long import separate_long
 
         return separate_long
+    if name == "separate_long_sharded":
+        from amss_tpu.infer.long import separate_long_sharded
+
+        return separate_long_sharded
+    if name == "RealtimeSeparator":
+        from amss_tpu.infer.realtime import RealtimeSeparator
+
+        return RealtimeSeparator
+    if name == "count_speakers":
+        from amss_tpu.infer.count import count_speakers
+
+        return count_speakers
     if name == "SpeakerStore":
         from amss_tpu.data.store import SpeakerStore
 
