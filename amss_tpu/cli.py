@@ -368,7 +368,9 @@ def cmd_separate(args):
             )
         ks = [
             int(count_speakers(model, params, w[None, :],
-                               k_max=args.max_speakers)[0])
+                               k_max=args.max_speakers,
+                               weight_kind=getattr(args, "count_weights",
+                                                   "vad"))[0])
             for w in waves
         ]
         print(json.dumps({"estimated_speakers": dict(zip(args.wav, ks))}))
@@ -697,6 +699,11 @@ def main(argv=None):
                                 "= the recipe's nb_speakers")
             p.add_argument("--max-speakers", type=int, default=4,
                            help="upper bound for --num-speakers auto")
+            p.add_argument("--count-weights", default="vad",
+                           choices=["vad", "magnitude", "magvad"],
+                           help="bin weighting for the --num-speakers auto "
+                                "eigengap Gram; magnitude/magvad emphasize "
+                                "loud bins (measured to sharpen counting)")
             p.add_argument("--mesh-devices", type=int, default=None,
                            help="time-parallel long-audio inference: shard "
                                 "over-bucket utterances' chunk axis across "

@@ -54,14 +54,19 @@ def count_speakers(
     mix: jnp.ndarray,  # [B, T]
     k_max: int = 4,
     frame_mask: jnp.ndarray | None = None,
+    weight_kind: str = "vad",
 ) -> jnp.ndarray:
     """Estimate the number of speakers in each mixture (int32 [B]).
 
     Works for any model with an embedding head: DPCLModel (.embed) or
-    ChimeraModel (DC head of .heads).  Bins are weighted exactly as
-    clustering inference weights them (vad_weights + padding mask).
+    ChimeraModel (DC head of .heads).  weight_kind picks the Gram's bin
+    weighting (models/front.py::bin_weights): "vad" matches clustering
+    inference exactly; "magnitude"/"magvad" emphasize loud bins — measured
+    on count-diverse CPU models to roughly double 2-mix count accuracy
+    (quality_results count_rules rows) because quiet bins cluster noisily
+    and flatten the spectrum.
     """
-    from amss_tpu.models.front import vad_weights
+    from amss_tpu.models.front import bin_weights
 
     c = model.cfg
     codes, _ = model.front.encode(params["front"], mix)
@@ -75,7 +80,7 @@ def count_speakers(
             f"{type(model).__name__} has no embedding head; speaker-count "
             "estimation needs a clustering model (dpcl/chimera)"
         )
-    w = vad_weights(codes, c.vad_threshold_db)
+    w = bin_weights(codes, weight_kind, c.vad_threshold_db)
     if frame_mask is not None:
         w = w * frame_mask[..., None]
     b = v.shape[0]

@@ -692,23 +692,25 @@ def stage_count_rules():
     tau*lam1, eigenvalue > tau*trace (cluster-weight-share reading).  Guides
     whether the default rule should change — decided on CHIP-trained
     count-diverse embeddings, not hand-tuned thresholds on weak CPU models.
-    `count_rules <run_dir> [n_per_k]`.  CPU-safe with AMSS_WAVE_CPU=1."""
+    `count_rules <run_dir> [n_per_k] [weight_kind]` (weight_kind: vad |
+    magnitude | magvad).  CPU-safe with AMSS_WAVE_CPU=1."""
     from amss_tpu.train.engine import load_model_from_run
 
     i = sys.argv.index("count_rules")
     run_dir = sys.argv[i + 1]
     n = int(sys.argv[i + 2]) if len(sys.argv) > i + 2 else 24
+    wk = sys.argv[i + 3] if len(sys.argv) > i + 3 else "vad"
     model, params = load_model_from_run(run_dir)
-    out = count_rules_model(model, params, n)
-    out.update(stage=f"count_rules_n{n}",
+    out = count_rules_model(model, params, n, weight_kind=wk)
+    out.update(stage=f"count_rules_n{n}_{wk}",
                run_dir=os.path.relpath(run_dir, REPO))
     log_result(out)
 
 
-def count_rules_model(model, params, n: int) -> dict:
+def count_rules_model(model, params, n: int, weight_kind: str = "vad") -> dict:
     import jax.numpy as jnp
 
-    from amss_tpu.models.front import vad_weights
+    from amss_tpu.models.front import bin_weights
 
     c = model.cfg
     spectra = {}
@@ -718,7 +720,7 @@ def count_rules_model(model, params, n: int) -> dict:
         codes, _ = model.front.encode(params["front"], mix)
         feats = model.front.features(params["front"], codes)
         v = model.embed(params, feats, None)
-        w = vad_weights(codes, c.vad_threshold_db)
+        w = bin_weights(codes, weight_kind, c.vad_threshold_db)
         b = v.shape[0]
         vf = v.reshape(b, -1, v.shape[-1])
         wf = w.reshape(b, -1)
@@ -813,9 +815,11 @@ def stage_count_train():
     out = count_sep_eval_model(tr.model, state["params"], 32)
     out.update(stage=f"count_train_dpcl_{steps}_sep_eval", run_dir=tr.dir)
     log_result(out)
-    out = count_rules_model(tr.model, state["params"], 32)
-    out.update(stage=f"count_train_dpcl_{steps}_rules", run_dir=tr.dir)
-    log_result(out)
+    for wk in ("vad", "magvad"):
+        out = count_rules_model(tr.model, state["params"], 32, weight_kind=wk)
+        out.update(stage=f"count_train_dpcl_{steps}_rules_{wk}",
+                   run_dir=tr.dir)
+        log_result(out)
 
 
 STAGES = {

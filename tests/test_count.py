@@ -86,6 +86,11 @@ def test_count_speakers_model_paths():
         est = np.asarray(count_speakers(model, params, mix, k_max=4))
         assert est.shape == (2,) and est.dtype == np.int32
         assert np.all((est >= 1) & (est <= 4))
+        for wk in ("magnitude", "magvad"):
+            est_w = np.asarray(count_speakers(model, params, mix, k_max=4,
+                                              weight_kind=wk))
+            assert est_w.shape == (2,)
+            assert np.all((est_w >= 1) & (est_w <= 4))
 
 
 def test_dpcl_separate_variable_k():
