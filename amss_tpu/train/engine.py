@@ -107,6 +107,7 @@ class Trainer:
         self.recipe = recipe
         self.rid = run_id(recipe)
         self.dir = run_dir or os.path.join(workdir, f"{recipe.name}_{self.rid}")
+        self._check_corpus_collision(store)
         self.model = make_model(recipe.model, base_run=recipe.base_run)
         self.mixer = Mixer(
             store,
@@ -345,6 +346,31 @@ class Trainer:
             for k, v in arrays.items()
         }
 
+    def _check_corpus_collision(self, store) -> None:
+        """Refuse to reuse a run dir that was trained on a DIFFERENT corpus.
+
+        The run id hashes the recipe config only — the corpus path is a
+        Trainer argument, so two runs with identical configs on different
+        corpora resolve to the same dir and the second silently restores/
+        overwrites the first (this cost a full retrain in round 3).  The
+        corpus root is recorded in a ``corpus.json`` sidecar (NOT inside
+        config.json, whose stored form is the hash identity of the dir)."""
+        self._corpus_root = os.path.abspath(getattr(store, "root", ""))
+        side = os.path.join(self.dir, "corpus.json")
+        if not os.path.exists(side):
+            return
+        import json
+
+        with open(side) as f:
+            prev = json.load(f).get("corpus_root", "")
+        if prev and self._corpus_root and prev != self._corpus_root:
+            raise ValueError(
+                f"run dir {self.dir} was trained on corpus {prev!r} but this "
+                f"Trainer was given {self._corpus_root!r}; the run id hashes "
+                "the config only, so pass a distinct workdir/run_dir per "
+                "corpus (or delete the old dir) instead of overwriting it"
+            )
+
     def _write_config(self):
         """Run-dir provenance: the full recipe as config.json, so downstream
         stages (enhancement, evaluation) can rebuild this model from the dir
@@ -356,6 +382,9 @@ class Trainer:
         os.makedirs(self.dir, exist_ok=True)
         with open(os.path.join(self.dir, "config.json"), "w") as f:
             json.dump(recipe_to_dict(self.recipe), f, indent=1)
+        if self._corpus_root:
+            with open(os.path.join(self.dir, "corpus.json"), "w") as f:
+                json.dump({"corpus_root": self._corpus_root}, f, indent=1)
 
     def _compile_step(self, state: dict, batch0: dict) -> None:
         """AOT-compile the train step at the real shapes (no execution, no

@@ -196,3 +196,21 @@ def test_early_stopping(tmp_path):
     # first validation sets best; the next 2 are stale -> stop at step 6
     assert state["step"] == 6 < 40
     assert os.path.exists(os.path.join(tr.dir, "ckpt_best.msgpack"))
+
+
+def test_corpus_collision_guard(tmp_path):
+    """Same config on a different corpus must refuse the colliding run dir
+    (the run id hashes the config only — round-3 trap that silently
+    overwrote a trained run)."""
+    import pytest
+
+    a = make_synthetic_corpus(str(tmp_path / "corpus_a"), n_speakers=12,
+                              seconds_per_speaker=2.0)
+    b = make_synthetic_corpus(str(tmp_path / "corpus_b"), n_speakers=12,
+                              seconds_per_speaker=2.0)
+    tr = Trainer(_tiny(steps=2), a, workdir=str(tmp_path / "runs"))
+    tr.fit()
+    # same corpus: reuse is fine (resume path)
+    Trainer(_tiny(steps=2), a, workdir=str(tmp_path / "runs"))
+    with pytest.raises(ValueError, match="corpus"):
+        Trainer(_tiny(steps=2), b, workdir=str(tmp_path / "runs"))
