@@ -37,6 +37,10 @@ def _add_train_overrides(p: argparse.ArgumentParser):
                         "(speaker, start, gain) plans gathered on device")
     p.add_argument("--accum-steps", type=int,
                    help="gradient accumulation microbatches per step")
+    p.add_argument("--steps-per-call", type=int,
+                   help="optimizer steps scanned inside one jitted call "
+                        "(amortizes per-call dispatch latency; identical "
+                        "per-step math, excluded from the run id)")
     p.add_argument("--ema-decay", type=float,
                    help="parameter EMA decay (0 = off); EMA weights are "
                         "validated, ranked for ckpt_best, and served")
@@ -122,6 +126,7 @@ def _build_recipe(args, store):
             "data_axis": args.data_axis,
             "device_data": getattr(args, "device_data", None),
             "accum_steps": getattr(args, "accum_steps", None),
+            "steps_per_call": getattr(args, "steps_per_call", None),
             "ema_decay": getattr(args, "ema_decay", None),
             "valid_quality": getattr(args, "valid_quality", None),
             "early_stop_patience": getattr(args, "early_stop_patience", None),

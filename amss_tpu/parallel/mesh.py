@@ -37,6 +37,12 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def stacked_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """[K, B, ...] multi-step batches: step axis replicated (it is scanned
+    sequentially inside the jit step), batch axis split across ``data``."""
+    return NamedSharding(mesh, P(None, "data"))
+
+
 def shard_batch(mesh: Mesh, tree):
     """device_put a host batch pytree with the leading axis sharded."""
     sh = batch_sharding(mesh)

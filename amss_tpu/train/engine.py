@@ -37,7 +37,12 @@ from amss_tpu.models.adapt import AdaptAutoencoder
 from amss_tpu.models.chimera import ChimeraModel
 from amss_tpu.models.dpcl import DPCLModel
 from amss_tpu.models.l41 import L41Model
-from amss_tpu.parallel.mesh import make_mesh, batch_sharding, replicated_sharding
+from amss_tpu.parallel.mesh import (
+    make_mesh,
+    batch_sharding,
+    replicated_sharding,
+    stacked_batch_sharding,
+)
 from amss_tpu.utils.config import ModelConfig, RecipeConfig, run_id
 from amss_tpu.utils.logging import MetricWriter
 
@@ -320,31 +325,104 @@ class Trainer:
             valid, in_shardings=(rep, data, cf_sh), out_shardings=rep
         )
 
-    def _device_batch(self, batch):
-        """Host batch (this process's LOCAL shard) -> device arrays.
+        # Multi-step call: lax.scan the SAME per-step update over [k, B, ...]
+        # batches — one dispatch (one tunnel round trip, one donation cycle)
+        # buys k optimizer steps.  The freeze-front gate moves in-graph
+        # (f(step index)) so a freeze transition inside a chunk stays exact.
+        self._multi_fn = None
+        if max(t.steps_per_call, 1) > 1:
+            freeze = self.recipe.freeze_front_steps
+            sdata = stacked_batch_sharding(self.mesh)
+
+            def scan_steps(params, opt_state, ema_params, sbatch, corpus_flat,
+                           step0):
+                k = jax.tree_util.tree_leaves(sbatch)[0].shape[0]
+
+                def body(carry, xs):
+                    p, o, e = carry
+                    b, i = xs
+                    fs = jnp.where(i < freeze, 0.0, 1.0).astype(jnp.float32)
+                    p, o, m = update(p, o, b, corpus_flat, fs, i)
+                    if e is not None:
+                        e = jax.tree_util.tree_map(
+                            lambda ee, pp: ema_decay * ee
+                            + (1.0 - ema_decay) * pp,
+                            e, p,
+                        )
+                    return (p, o, e), m
+
+                carry, ms = jax.lax.scan(
+                    body, (params, opt_state, ema_params),
+                    (sbatch, step0 + jnp.arange(k, dtype=jnp.int32)),
+                )
+                return carry, ms
+
+            if ema_decay > 0.0:
+                def multi(params, opt_state, ema_params, sbatch, corpus_flat,
+                          step0):
+                    (p, o, e), ms = scan_steps(
+                        params, opt_state, ema_params, sbatch, corpus_flat,
+                        step0,
+                    )
+                    return p, o, e, ms
+
+                self._multi_fn = jax.jit(
+                    multi,
+                    donate_argnums=(0, 1, 2),
+                    in_shardings=(rep, rep, rep, sdata, cf_sh, None),
+                    out_shardings=(rep, rep, rep, rep),
+                )
+            else:
+                def multi(params, opt_state, sbatch, corpus_flat, step0):
+                    (p, o, _), ms = scan_steps(
+                        params, opt_state, None, sbatch, corpus_flat, step0
+                    )
+                    return p, o, ms
+
+                self._multi_fn = jax.jit(
+                    multi,
+                    donate_argnums=(0, 1),
+                    in_shardings=(rep, rep, sdata, cf_sh, None),
+                    out_shardings=(rep, rep, rep),
+                )
+
+    def _host_arrays(self, batch) -> dict:
+        """One host batch (this process's LOCAL shard) -> wire-format arrays."""
+        if self.corpus is not None:  # plan mode: a few hundred bytes per step
+            return {
+                "plan_ids": batch.speaker_ids,
+                "plan_starts": batch.starts,
+                "plan_gains": batch.gains,
+            }
+        q = np.clip(batch.sources * 32767.0, -32767.0, 32767.0).astype(np.int16)
+        arrays = {"sources_q": q}
+        if self.recipe.model.kind == "l41":
+            arrays["speaker_ids"] = batch.speaker_ids
+        return arrays
+
+    def _put(self, arrays: dict, sh):
+        """Host arrays -> device, single-process or multi-host.
 
         Single-process: a plain sharded device_put.  Multi-host: each process
         contributes its local slice of the global batch via
         jax.make_array_from_process_local_data (the JAX-native multi-host
         input path — SURVEY.md §2.7 per-host input sharding over DCN)."""
-        sh = batch_sharding(self.mesh)
-        if self.corpus is not None:  # plan mode: a few hundred bytes per step
-            arrays = {
-                "plan_ids": batch.speaker_ids,
-                "plan_starts": batch.starts,
-                "plan_gains": batch.gains,
-            }
-        else:
-            q = np.clip(batch.sources * 32767.0, -32767.0, 32767.0).astype(np.int16)
-            arrays = {"sources_q": q}
-            if self.recipe.model.kind == "l41":
-                arrays["speaker_ids"] = batch.speaker_ids
         if jax.process_count() == 1:
             return {k: jax.device_put(v, sh) for k, v in arrays.items()}
         return {
             k: jax.make_array_from_process_local_data(sh, v)
             for k, v in arrays.items()
         }
+
+    def _device_batch(self, batch):
+        return self._put(self._host_arrays(batch), batch_sharding(self.mesh))
+
+    def _device_batch_stacked(self, hosts: list):
+        """k host batches -> one [k, B, ...] device batch (step axis
+        replicated, batch axis sharded) for the multi-step scan call."""
+        per = [self._host_arrays(h) for h in hosts]
+        stacked = {k: np.stack([a[k] for a in per]) for k in per[0]}
+        return self._put(stacked, stacked_batch_sharding(self.mesh))
 
     def _check_corpus_collision(self, store) -> None:
         """Refuse to reuse a run dir that was trained on a DIFFERENT corpus.
@@ -433,6 +511,8 @@ class Trainer:
             state = self.init_state()
         if self._step_fn is None:
             self._build_step()
+        if max(r.steps_per_call, 1) > 1:
+            return self._fit_multi(state, log_every)
         if self.corpus is not None:
             self._probe_device_data(state)
         params, opt_state = state["params"], state["opt_state"]
@@ -517,6 +597,144 @@ class Trainer:
         if ema_on:
             out["ema_params"] = ema_params
         return out
+
+    def _fit_multi(self, state: dict, log_every: int = 50) -> dict:
+        """fit() at steps_per_call > 1: chunks of k steps per jitted call.
+
+        Chunk boundaries never cross a validation boundary, so the
+        valid/checkpoint/early-stop cadence is identical to fit(); steady-
+        state chunks are steps_per_call long and the remainder before each
+        boundary compiles one extra (cached) program.  Per-step math is the
+        single step scanned — bit-equal to fit() (tested)."""
+        r = self.recipe.train
+        K = r.steps_per_call
+        params, opt_state = state["params"], state["opt_state"]
+        ema_on = r.ema_decay > 0.0
+        ema_params = (
+            state.get("ema_params")
+            or jax.tree_util.tree_map(jnp.array, params)
+        ) if ema_on else None
+        start = state["step"]
+        n_proc = jax.process_count()
+        if r.batch_size % n_proc != 0:
+            raise ValueError(
+                f"global batch {r.batch_size} not divisible by {n_proc} processes"
+            )
+        local_bs = r.batch_size // n_proc
+        host = jax.process_index()
+
+        def chunk_len(step: int) -> int:
+            next_valid = (step // r.valid_every + 1) * r.valid_every
+            return min(K, next_valid - step, r.steps - step)
+
+        if self.corpus is not None:
+            self._probe_device_data_multi(
+                params, opt_state, ema_params, start, max(chunk_len(start), 1),
+                local_bs, host,
+            )
+        from amss_tpu.data.prefetch import Prefetcher
+
+        # The prefetch thread only DRAWS host batches here (put_batch =
+        # identity); the k chunk batches are stacked and uploaded in one
+        # device_put below.  Drawing still overlaps device compute.
+        batches = Prefetcher(
+            make_batch=lambda s: self._draw("train", s, local_bs, host=host),
+            put_batch=lambda h: h,  # keep host-side; stacked per chunk
+            start_step=start,
+            end_step=r.steps,
+        )
+        it = iter(batches)
+        corpus_flat = self.corpus.flat if self.corpus is not None else None
+        best_v, stale = float("inf"), 0
+        step, last_log, t0 = start, start, time.time()
+        try:
+            while step < r.steps:
+                k = chunk_len(step)
+                hosts = [next(it)[1] for _ in range(k)]
+                sbatch = self._device_batch_stacked(hosts)
+                if ema_on:
+                    params, opt_state, ema_params, ms = self._multi_fn(
+                        params, opt_state, ema_params, sbatch, corpus_flat,
+                        jnp.int32(step),
+                    )
+                else:
+                    params, opt_state, ms = self._multi_fn(
+                        params, opt_state, sbatch, corpus_flat, jnp.int32(step)
+                    )
+                step += k
+
+                if step - last_log >= log_every or step == r.steps:
+                    m = {kk: float(v[-1]) for kk, v in ms.items()}
+                    m["steps_per_sec"] = (step - last_log) / max(
+                        time.time() - t0, 1e-9
+                    )
+                    t0, last_log = time.time(), step
+                    self.writer.scalars(
+                        step, {f"train/{kk}": v for kk, v in m.items()}
+                    )
+
+                if step % r.valid_every == 0 or step == r.steps:
+                    vloss = self._validate(
+                        ema_params if ema_on else params, step - 1
+                    )
+                    if jax.process_index() == 0:
+                        ck = {
+                            "params": params,
+                            "opt_state": opt_state,
+                            "step": step,
+                        }
+                        if ema_on:
+                            ck["ema_params"] = ema_params
+                        self._ckpt.save(self.dir, ck, step=step, metric=vloss)
+                    if r.early_stop_patience > 0:
+                        if vloss < best_v:
+                            best_v, stale = vloss, 0
+                        else:
+                            stale += 1
+                        if stale >= r.early_stop_patience:
+                            self.writer.scalars(
+                                step, {"train/early_stopped": 1.0}
+                            )
+                            break
+        finally:
+            batches.close()
+        self._ckpt.wait()
+        self.writer.flush()
+        out = {"params": params, "opt_state": opt_state, "step": step}
+        if ema_on:
+            out["ema_params"] = ema_params
+        return out
+
+    def _probe_device_data_multi(self, params, opt_state, ema_params,
+                                 start: int, k: int, local_bs: int,
+                                 host: int) -> None:
+        """413-payload probe for the multi-step program (mirrors
+        _probe_device_data; see it for why this runs before donation)."""
+        import warnings
+
+        hosts = [self._draw("train", start + j, local_bs, host=host)
+                 for j in range(k)]
+        sbatch = self._device_batch_stacked(hosts)
+        args = (params, opt_state)
+        if ema_params is not None:
+            args += (ema_params,)
+        try:
+            self._multi_fn.lower(
+                *args, sbatch, self.corpus.flat, jnp.int32(start)
+            ).compile()
+        except Exception as e:  # noqa: BLE001 — runtime error class varies
+            msg = str(e)
+            if "413" not in msg and "length limit" not in msg:
+                raise
+            warnings.warn(
+                "device_data corpus exceeds the tunnel compile-payload limit "
+                f"({msg[:120]}); falling back to host int16-wire input",
+                stacklevel=2,
+            )
+            self.corpus = None
+            self._step_fn = None
+            self._valid_fn = None
+            self._build_step()
 
     def _validate(self, params, step) -> float:
         r = self.recipe.train

@@ -159,6 +159,14 @@ class TrainConfig:
     # new best valid loss (0 = off).  ckpt_best already holds the best-on-
     # valid weights, so stopping early loses nothing.
     early_stop_patience: int = 0
+    # Run this many optimizer steps inside ONE jitted call (lax.scan over
+    # per-step batches stacked [K, B, ...]).  The per-step math is identical
+    # to steps_per_call=1 (tested bit-exact on CPU) — this is an execution-
+    # shape knob that amortizes the fixed per-call dispatch latency (the
+    # axon tunnel pays ~38 ms per jitted call; at ~80 ms/step measured in
+    # input_ab, latency — not input bandwidth or compute — bounds step
+    # time).  Excluded from the run id: it cannot change the trajectory.
+    steps_per_call: int = 1
 
 
 @dataclass(frozen=True)
@@ -221,6 +229,9 @@ def run_id_from_stored(d: dict) -> str:
         tr.pop("valid_quality", None)
     if not tr.get("early_stop_patience", 0):  # 0 = off, pre-growth behavior
         tr.pop("early_stop_patience", None)
+    # execution-shape knob: identical per-step math at any value (the scan
+    # body IS the single step), so it never forks the training trajectory
+    tr.pop("steps_per_call", None)
     mdl = d.get("model", {})
     if not mdl.get("train_noise_snr_db"):  # None = clean, pre-growth behavior
         mdl.pop("train_noise_snr_db", None)

@@ -3,6 +3,8 @@
 
 import dataclasses
 
+import jax
+
 import numpy as np
 
 from amss_tpu.configs.recipes import c1_stft_dpcl
@@ -214,3 +216,52 @@ def test_corpus_collision_guard(tmp_path):
     Trainer(_tiny(steps=2), a, workdir=str(tmp_path / "runs"))
     with pytest.raises(ValueError, match="corpus"):
         Trainer(_tiny(steps=2), b, workdir=str(tmp_path / "runs"))
+
+
+def test_steps_per_call_matches_single_step(tmp_path):
+    """K optimizer steps scanned inside one jitted call must reproduce the
+    K=1 trajectory (same batches, same dropout keys, same freeze-front
+    gating — steps_per_call is an execution-shape knob only).  Covers a
+    freeze transition INSIDE a chunk and the remainder chunk before a
+    validation boundary (valid_every=6, K=4 -> chunks 4,2,4,2)."""
+    store = make_synthetic_corpus(str(tmp_path / "corpus"), n_speakers=12,
+                                  seconds_per_speaker=2.0)
+    outs = {}
+    for K in (1, 4):
+        r = _tiny(steps=12)
+        r = dataclasses.replace(
+            r,
+            freeze_front_steps=3,
+            train=dataclasses.replace(r.train, steps_per_call=K,
+                                      ema_decay=0.995),
+        )
+        tr = Trainer(r, store, workdir=str(tmp_path / f"runs_k{K}"))
+        outs[K] = tr.fit()
+    for key in ("params", "ema_params"):
+        a = jax.tree_util.tree_leaves(outs[1][key])
+        b = jax.tree_util.tree_leaves(outs[4][key])
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=2e-5, atol=2e-6)
+    assert outs[1]["step"] == outs[4]["step"] == 12
+
+
+def test_steps_per_call_device_data(tmp_path):
+    """steps_per_call composes with the HBM-resident corpus: stacked
+    (speaker, start, gain) plans gathered per scanned step equal the
+    host-wire run (int16 quantization is the only wire difference, and
+    device_data gathers from the SAME int16 shards)."""
+    store = make_synthetic_corpus(str(tmp_path / "corpus"), n_speakers=12,
+                                  seconds_per_speaker=2.0)
+    outs = {}
+    for K in (1, 3):
+        r = _tiny(steps=6)
+        r = dataclasses.replace(
+            r, train=dataclasses.replace(r.train, steps_per_call=K,
+                                         device_data=True))
+        tr = Trainer(r, store, workdir=str(tmp_path / f"runs_dd{K}"))
+        outs[K] = tr.fit()
+    for x, y in zip(jax.tree_util.tree_leaves(outs[1]["params"]),
+                    jax.tree_util.tree_leaves(outs[3]["params"])):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=2e-5, atol=2e-6)
