@@ -321,6 +321,41 @@ def stage_input_ab():
         })
 
 
+def stage_stepscan_ab():
+    """steps_per_call A/B on the chip (train.steps_per_call, the round-3
+    dispatch-latency lever): input_ab measured ~12.4 steps/s for BOTH input
+    paths — an ~80 ms/step floor set by the ~38 ms per-call tunnel round
+    trip, not by input bandwidth or compute.  Scanning K steps inside one
+    jitted call amortizes that floor K ways; this stage measures the actual
+    curve at K in (1, 4, 16) on the exp4 flagship arch with the
+    HBM-resident corpus.  `stepscan_ab [corpus] [steps]`."""
+    import dataclasses as dc
+
+    from amss_tpu.configs.recipes import c6_tasnet
+
+    i = sys.argv.index("stepscan_ab")
+    corpus = sys.argv[i + 1] if len(sys.argv) > i + 1 else V2MAX
+    steps = int(sys.argv[i + 2]) if len(sys.argv) > i + 2 else 400
+    for k in (1, 4, 16):
+        r = sized(c6_tasnet(), steps, expansion=4)
+        r = dc.replace(r, train=dc.replace(r.train, device_data=True,
+                                           steps_per_call=k,
+                                           valid_every=10**9))
+        # steps_per_call is excluded from the run id (same trajectory), so
+        # the three arms would collide on one dir — separate workdirs.
+        tr, state, secs = train(r, corpus, workdir=f"runs_r3/spc{k}")
+        rows = [json.loads(l)
+                for l in open(os.path.join(tr.dir, "metrics.jsonl"))]
+        walls = [x["train/steps_per_sec"] for x in rows
+                 if "train/steps_per_sec" in x]
+        log_result({
+            "stage": f"stepscan_ab_k{k}",
+            "corpus": corpus,
+            "train_seconds_total": secs,
+            "train_steps_per_sec_tail": walls[-3:],
+        })
+
+
 def stage_c7v2():
     """Causal flagship v2: same capacity/data lift as flagship2 (expansion=4,
     1000-spk corpus) applied to the low-latency causal recipe."""
@@ -842,6 +877,7 @@ STAGES = {
     "3spk2": stage_3spk2,
     "flagship2b": stage_flagship2b,
     "input_ab": stage_input_ab,
+    "stepscan_ab": stage_stepscan_ab,
     "huge250": stage_huge250,
     "c4_tcn": stage_c4_tcn,
     "boot": stage_boot,
