@@ -122,6 +122,14 @@ def train(recipe, corpus: str, workdir: str = "runs_r3"):
     from amss_tpu.data.store import SpeakerStore
     from amss_tpu.train.engine import Trainer
 
+    # AMSS_SPC: steps_per_call override for chained chip stages.  Run-id
+    # excluded (execution-shape knob, bit-exact vs 1), so the trajectory and
+    # run dir are unchanged; it only amortizes the tunnel's per-call latency.
+    spc = int(os.environ.get("AMSS_SPC", "0"))
+    if spc > 1:
+        recipe = dataclasses.replace(
+            recipe, train=dataclasses.replace(recipe.train,
+                                              steps_per_call=spc))
     tr = Trainer(recipe, SpeakerStore(corpus), workdir=workdir)
     t0 = time.time()
     state = tr.fit()
