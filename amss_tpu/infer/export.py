@@ -424,7 +424,10 @@ class ServingArtifact:
 
         exp = self._exported(bucket)
         fmask = np.ones((self.batch, bucket["frames"]), np.float32)
-        outs = []
+        # Dispatch all groups before fetching any: async dispatch overlaps
+        # group k+1's transfer with group k's compute (same pipelining as
+        # infer/long.py::separate_long).
+        pending = []
         for g0 in range(0, n_chunks, self.batch):
             grp = rows[g0 : g0 + self.batch]
             n_real = grp.shape[0]
@@ -432,8 +435,8 @@ class ServingArtifact:
                 grp = np.concatenate(
                     [grp, np.zeros((self.batch - n_real, chunk), np.float32)]
                 )
-            outs.append(np.asarray(exp.call(self.params, grp, fmask))[:n_real])
-        est = np.concatenate(outs)  # [n_chunks, S, chunk]
+            pending.append((exp.call(self.params, grp, fmask), n_real))
+        est = np.concatenate([np.asarray(h)[:n] for h, n in pending])
         return stitch_chunks(est, starts, overlap, t, t_pad)
 
 

@@ -148,11 +148,18 @@ class StreamingSeparator:
 
         bucketable = [i for i in range(len(waves)) if results[i] is None]
         order = sorted(bucketable, key=lambda i: len(waves[i]))
-        group: list[int] = []
+        groups: list[list[int]] = []
+        current_bucket = None
+        for i in order:
+            bkt = self.buckets.bucket_for(len(waves[i]))
+            if (not groups or bkt != current_bucket
+                    or len(groups[-1]) >= max_batch):
+                groups.append([])
+            current_bucket = bkt
+            groups[-1].append(i)
+        groups = [g for g in groups if g]
 
-        def flush(group):
-            if not group:
-                return
+        def pack(group):
             bucket = self.buckets.bucket_for(max(len(waves[i]) for i in group))
             b = len(group)
             mix = np.zeros((b, bucket), np.float32)
@@ -161,27 +168,33 @@ class StreamingSeparator:
                 w = waves[i][:bucket]
                 mix[j, : len(w)] = w
                 fmask[j, : self._frame_count(len(w))] = 1.0
-            fn = self._get_fn(bucket, b)
-            t0 = time.perf_counter()
-            est = fn(self.params, jnp.asarray(mix), jnp.asarray(fmask))
+            return bucket, mix, fmask
+
+        # Warm every distinct (bucket, batch) program BEFORE the timed phase
+        # so compiles book as compile_seconds, never serving time.
+        packed = [pack(g) for g in groups]
+        for (bucket, mix, _), g in zip(packed, groups):
+            self._get_fn(bucket, len(g))
+
+        # Pipelined serving: dispatch ALL groups back-to-back, then fetch in
+        # dispatch order.  JAX's async dispatch queues the programs on the
+        # device, overlapping group k+1's host->device transfer and dispatch
+        # with group k's compute — a sequential fetch-per-group loop pays
+        # (round trip + transfer + compute) per group instead (measured: the
+        # round-3 headline lost ~30% to exactly that serialization).
+        t0 = time.perf_counter()
+        pending = []
+        for (bucket, mix, fmask), g in zip(packed, groups):
+            fn = self._get_fn(bucket, len(g))
+            pending.append(fn(self.params, jnp.asarray(mix), jnp.asarray(fmask)))
+        for est, g in zip(pending, groups):
             est_np = np.asarray(est)  # host fetch = real sync (axon tunnel's
             # block_until_ready returns before remote execution completes)
-            dt = time.perf_counter() - t0
-            self.meter.compute_seconds += dt
-            self.meter.calls += 1
-            for j, i in enumerate(group):
+            for j, i in enumerate(g):
                 t_i = len(waves[i])
                 results[i] = est_np[j, :, :t_i]
                 self.meter.audio_seconds += t_i / self.sample_rate
                 self.meter.utterances += 1
-
-        current_bucket = None
-        for i in order:
-            bkt = self.buckets.bucket_for(len(waves[i]))
-            if group and (bkt != current_bucket or len(group) >= max_batch):
-                flush(group)
-                group = []
-            current_bucket = bkt
-            group.append(i)
-        flush(group)
+        self.meter.compute_seconds += time.perf_counter() - t0
+        self.meter.calls += len(groups)
         return results  # type: ignore

@@ -24,10 +24,18 @@ def _host_tag() -> str:
     import hashlib
 
     try:
+        lines = []
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith("flags"):
-                    return hashlib.sha256(line.encode()).hexdigest()[:12]
+                # flags alone proved too weak a key: two VMs with identical
+                # flag sets still disagreed on XLA-inferred target features
+                # (prefer-no-scatter/gather), so include the model line too.
+                if line.startswith(("flags", "model name")):
+                    lines.append(line)
+                if len(lines) >= 2:
+                    break
+        if lines:
+            return hashlib.sha256("".join(sorted(lines)).encode()).hexdigest()[:12]
     except OSError:
         pass
     import platform

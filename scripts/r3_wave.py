@@ -125,11 +125,15 @@ def train(recipe, corpus: str, workdir: str = "runs_r3"):
     # AMSS_SPC: steps_per_call override for chained chip stages.  Run-id
     # excluded (execution-shape knob, bit-exact vs 1), so the trajectory and
     # run dir are unchanged; it only amortizes the tunnel's per-call latency.
+    # Advisor r3: (a) never clobber a stage that sets steps_per_call itself
+    # (stepscan_ab's K arms), (b) since the run id doesn't cover the knob, an
+    # overridden run gets its own workdir so it can't overwrite a K=1 run.
     spc = int(os.environ.get("AMSS_SPC", "0"))
-    if spc > 1:
+    if spc > 1 and recipe.train.steps_per_call == 1:
         recipe = dataclasses.replace(
             recipe, train=dataclasses.replace(recipe.train,
                                               steps_per_call=spc))
+        workdir = os.path.join(workdir, f"spc{spc}")
     tr = Trainer(recipe, SpeakerStore(corpus), workdir=workdir)
     t0 = time.time()
     state = tr.fit()

@@ -1,0 +1,411 @@
+"""Round-4 experiment driver (VERDICT.md r3 items 1, 3).
+
+Stages:
+  perf_probe — device-utilization truth (VERDICT r3 item 1): decompose the
+               tunnel's fixed round trip, per-buffer (leaf-count) overhead,
+               per-byte bandwidth (H2D + D2H), and TRUE device execution
+               time for the train step and the serving batch, via
+               sync-vs-pipelined timing at several batch/chunk/dtype shapes,
+               plus a jax.profiler trace attempt.
+  flagship3  — the >=10 dB push (item 3): exp4 TCN on the 500-spk corpus at
+               a 96k schedule with parameter EMA; raw AND ema weights
+               bootstrap-evaluated at n=200.  `flagship3 [steps] [decay]`.
+
+Shared helpers (corpora, train(), blind_eval, sized) come from r3_wave.
+Results append to quality_results.jsonl (committed — survives restarts).
+"""
+
+import dataclasses as dc
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+if os.environ.get("AMSS_WAVE_CPU"):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+from r3_wave import (  # noqa: E402
+    REPO,
+    V2,
+    V2MAX,
+    blind_eval,
+    ensure_corpora,
+    log_result,
+    sized,
+    train,
+)
+
+
+def _med(fn, reps=8, warm=2):
+    """Median/min wall seconds of fn() after warmup."""
+    for _ in range(warm):
+        fn()
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts)), float(np.min(ts))
+
+
+def _probe_rtt(out):
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda x: x + 1.0)
+    x = jnp.zeros((8,), jnp.float32)
+    med, mn = _med(lambda: np.asarray(f(x)), reps=20)
+    out["rtt_ms"] = round(1e3 * med, 2)
+    out["rtt_ms_min"] = round(1e3 * mn, 2)
+    return med
+
+
+def _probe_bandwidth(out, rtt):
+    """Per-byte cost of the tunnel, both directions, at 64 KB..16 MB."""
+    import jax
+    import jax.numpy as jnp
+
+    touch = jax.jit(lambda v: v[:4] * 1.0)
+    for nbytes in (1 << 16, 1 << 20, 1 << 23, 1 << 24):
+        n = nbytes // 4
+        a = np.random.default_rng(0).standard_normal(n).astype(np.float32)
+
+        def h2d():
+            d = jax.device_put(a)
+            np.asarray(touch(d))  # force arrival + 1 fetch
+
+        med, _ = _med(h2d, reps=5)
+        xfer = max(med - rtt, 1e-9)
+        out[f"h2d_ms_{nbytes >> 20}mb" if nbytes >= 1 << 20
+            else f"h2d_ms_{nbytes >> 10}kb"] = round(1e3 * med, 2)
+        out[f"h2d_mbps_{nbytes >> 20}mb" if nbytes >= 1 << 20
+            else f"h2d_mbps_{nbytes >> 10}kb"] = round(nbytes / xfer / 1e6, 1)
+
+        # fresh device value each rep (np.asarray on a fetched jax.Array is
+        # cached host-side, which would measure memcpy, not the tunnel)
+        fill = jax.jit(lambda i, n=n: jnp.full((n,), i, jnp.float32))
+        k = [0]
+
+        def d2h():
+            k[0] += 1
+            np.asarray(fill(k[0]))
+
+        med, _ = _med(d2h, reps=5)
+        xfer = max(med - rtt, 1e-9)
+        out[f"d2h_ms_{nbytes >> 20}mb" if nbytes >= 1 << 20
+            else f"d2h_ms_{nbytes >> 10}kb"] = round(1e3 * med, 2)
+        out[f"d2h_mbps_{nbytes >> 20}mb" if nbytes >= 1 << 20
+            else f"d2h_mbps_{nbytes >> 10}kb"] = round(nbytes / xfer / 1e6, 1)
+
+
+def _probe_leaves(out, rtt):
+    """Per-buffer (pytree leaf) overhead of one dispatch: k small inputs and
+    k small outputs — the suspected cause of bench's 893 ms 'train step'
+    (params tree ~100 leaves passed + grads tree ~100 leaves returned)."""
+    import jax
+    import jax.numpy as jnp
+
+    for k in (1, 32, 128):
+        f = jax.jit(lambda x, k=k: tuple(x + float(i) for i in range(k)))
+        x = jnp.zeros((8,), jnp.float32)
+        med, _ = _med(lambda: np.asarray(f(x)[-1]), reps=6)
+        out[f"call_ms_out{k}"] = round(1e3 * med, 2)
+
+        xs = [jnp.zeros((8,), jnp.float32) for _ in range(k)]
+        g = jax.jit(lambda *v: sum(v))
+        med, _ = _med(lambda: np.asarray(g(*xs)), reps=6)
+        out[f"call_ms_in{k}"] = round(1e3 * med, 2)
+
+
+def _flagship_parts(compute_dtype="float32"):
+    from amss_tpu.configs.recipes import c6_tasnet
+    from amss_tpu.train.engine import make_model
+
+    r = sized(c6_tasnet(), 100, expansion=4, compute_dtype=compute_dtype)
+    model = make_model(r.model)
+    import jax
+
+    params = model.init(jax.random.PRNGKey(0))
+    return model, params
+
+
+def _probe_train_step(out, rtt):
+    """The 80 ms/step question (stepscan_ab was flat across K=1/4/16): is it
+    device execution or tunnel accounting?  Three timings per shape:
+      sync      — fetch the loss every call (what bench.py r3 measured);
+      pipelined — N calls dispatched back-to-back, one fetch at the end:
+                  upper bound on device time per step if dispatch pipelines;
+      donated   — fit()-style: params donated through a chained update, so
+                  the tunnel holds one live state and per-call buffer
+                  traffic is minimal.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from amss_tpu.utils.profiling import compiled_flops, mfu
+
+    for tag, bt, ct, dtype in (
+        ("b16_f32", 16, 16384, "float32"),
+        ("b4_f32", 4, 16384, "float32"),
+        ("b64_f32", 64, 16384, "float32"),
+        ("b16_bf16", 16, 16384, "bfloat16"),
+        ("b16_c64k_f32", 16, 65536, "float32"),
+    ):
+        model, params = _flagship_parts(dtype)
+
+        def loss_fn(p, sources):
+            l, _ = model.loss_from_batch(p, {"sources": sources})
+            return l
+
+        src = jax.device_put(
+            np.random.default_rng(1).standard_normal((bt, 2, ct))
+            .astype(np.float32) * 0.1)
+        vag = jax.value_and_grad(loss_fn)
+
+        # style A: loss+grads returned per call, loss fetched (bench r3)
+        gA = jax.jit(vag)
+        lv, _ = gA(params, src)
+        np.asarray(lv)
+        med, _ = _med(lambda: np.asarray(gA(params, src)[0]), reps=6)
+        out[f"train_{tag}_sync_ms"] = round(1e3 * med, 1)
+
+        # style A pipelined: dispatch 8, fetch the last loss only
+        def pipe():
+            last = None
+            for _ in range(8):
+                last, _ = gA(params, src)
+            np.asarray(last)
+
+        med, _ = _med(pipe, reps=3, warm=1)
+        out[f"train_{tag}_pipe_ms"] = round(1e3 * med / 8, 1)
+
+        # style B: donated chained update (state lives on device, like fit())
+        def stepB(p, s):
+            l, g = vag(p, s)
+            newp = jax.tree_util.tree_map(lambda a, b: a - 1e-9 * b, p, g)
+            return newp, l
+
+        gB = jax.jit(stepB, donate_argnums=(0,))
+        p = jax.tree_util.tree_map(jnp.asarray, params)
+        p, lv = gB(p, src)
+        np.asarray(lv)
+        t0 = time.perf_counter()
+        for _ in range(10):
+            p, lv = gB(p, src)
+        np.asarray(lv)
+        out[f"train_{tag}_donated_ms"] = round(
+            1e3 * (time.perf_counter() - t0) / 10, 1)
+
+        try:
+            fl = compiled_flops(vag, params, src)
+            m = mfu(fl, out[f"train_{tag}_donated_ms"] / 1e3)
+            out[f"train_{tag}_gflops"] = round(fl / 1e9, 1)
+            out[f"train_{tag}_mfu_donated"] = round(m["mfu_vs_v5e_peak"], 5)
+        except Exception as e:
+            out[f"train_{tag}_mfu_error"] = repr(e)[:80]
+        del p, src
+
+
+def _probe_serving(out, rtt):
+    """Three-way split for the serving batch: wall = rtt + bytes/bw +
+    device.  Device time isolated by keeping inputs device-resident and
+    fetching only 4 floats; transfer measured by the full in/out path."""
+    import jax
+    import jax.numpy as jnp
+
+    from amss_tpu.train.engine import load_model_from_run
+
+    path = os.path.join(REPO, "checkpoints", "c6_flagship")
+    model, params = load_model_from_run(path)
+    b, t = 8, 64000
+    mix_host = (np.random.default_rng(0).standard_normal((b, t))
+                .astype(np.float32) * 0.3)
+    sep = jax.jit(lambda p, m: model.separate(p, m))
+    mix_dev = jax.device_put(mix_host)
+    np.asarray(sep(params, mix_dev))  # compile
+
+    # full path: host in -> separated audio host out (what serving pays)
+    med_full, _ = _med(lambda: np.asarray(
+        sep(params, jax.device_put(mix_host))), reps=5)
+    # device-only: resident input, 4-float fetch
+    tiny = jax.jit(lambda p, m: model.separate(p, m)[:, :, :1].sum())
+    np.asarray(tiny(params, mix_dev))
+    med_dev, _ = _med(lambda: np.asarray(tiny(params, mix_dev)), reps=5)
+    out["serve_b8_full_ms"] = round(1e3 * med_full, 1)
+    out["serve_b8_device_ms"] = round(1e3 * (med_dev - rtt), 1)
+    out["serve_b8_bytes_in"] = b * t * 4
+    out["serve_b8_bytes_out"] = b * 2 * t * 4
+    out["serve_b8_transfer_ms_est"] = round(
+        1e3 * (med_full - med_dev), 1)
+
+
+def _probe_trace(out):
+    """jax.profiler trace of 3 pipelined train steps; aggregate the chrome
+    trace by event name if the axon backend emits one."""
+    import glob
+    import gzip
+
+    import jax
+
+    trace_dir = "/tmp/amss_trace_r4"
+    try:
+        model, params = _flagship_parts()
+
+        def loss_fn(p, sources):
+            l, _ = model.loss_from_batch(p, {"sources": sources})
+            return l
+
+        src = jax.device_put(
+            np.random.default_rng(1).standard_normal((16, 2, 16384))
+            .astype(np.float32) * 0.1)
+        g = jax.jit(jax.value_and_grad(loss_fn))
+        np.asarray(g(params, src)[0])
+        with jax.profiler.trace(trace_dir):
+            last = None
+            for _ in range(3):
+                last, _ = g(params, src)
+            np.asarray(last)
+        paths = glob.glob(trace_dir + "/**/*.trace.json.gz", recursive=True)
+        if not paths:
+            out["trace"] = "no trace.json.gz produced"
+            return
+        ev = json.load(gzip.open(sorted(paths)[-1]))["traceEvents"]
+        pids = {e["pid"]: e["args"].get("name", "")
+                for e in ev if e.get("ph") == "M"
+                and e.get("name") == "process_name"}
+        agg = {}
+        for e in ev:
+            if e.get("ph") == "X" and "dur" in e:
+                key = (pids.get(e["pid"], str(e["pid"]))[:40], e["name"][:60])
+                agg[key] = agg.get(key, 0.0) + e["dur"] / 1e3
+        top = sorted(agg.items(), key=lambda kv: -kv[1])[:25]
+        out["trace_top_ms"] = [
+            {"plane": k[0], "op": k[1], "ms": round(v, 2)} for k, v in top]
+    except Exception as e:
+        out["trace_error"] = repr(e)[:200]
+
+
+def stage_perf_probe():
+    out = {"stage": "perf_probe_r4"}
+    rtt = _probe_rtt(out)
+    for name, fn in (("bandwidth", _probe_bandwidth),
+                     ("leaves", _probe_leaves),
+                     ("train_step", _probe_train_step),
+                     ("serving", _probe_serving)):
+        try:
+            fn(out, rtt)
+        except Exception as e:
+            out[f"{name}_error"] = repr(e)[:200]
+        log_result(dict(out))  # incremental: partial results survive a hang
+    _probe_trace(out)
+    log_result(out)
+
+
+def stage_serve_bisect():
+    """Where do the serving batch's 1.3 device-seconds go?  (perf_probe: the
+    b8 x 8 s flagship separate() costs ~23x the equivalent-token train step.)
+    Times each stage of the forward — encode, features, trunk, masks, decode
+    — at the train shape and the serve shape, pipelined x8, fetch-4-floats."""
+    import jax
+    import jax.numpy as jnp
+
+    from amss_tpu.train.engine import load_model_from_run
+
+    model, params = load_model_from_run(
+        os.path.join(REPO, "checkpoints", "c6_flagship"))
+    out = {"stage": "serve_bisect_r4"}
+
+    def timed(tag, fn, *args):
+        g = jax.jit(lambda *a: jnp.sum(fn(*a)[..., :1]))
+        np.asarray(g(*args))  # compile
+        t0 = time.perf_counter()
+        for _ in range(8):
+            r = g(*args)
+        np.asarray(r)
+        out[tag] = round(1e3 * (time.perf_counter() - t0) / 8, 1)
+
+    for shape_tag, b, t in (("train16k", 16, 16384), ("serve64k", 8, 64000)):
+        mix = jax.device_put(
+            np.random.default_rng(0).standard_normal((b, t))
+            .astype(np.float32) * 0.3)
+        codes, aux = model.front.encode(params["front"], mix)
+        feats = model.front.features(params["front"], codes)
+        nf = model.cfg.front.frames_for(t)
+        fmask = jax.device_put(np.ones((b, nf), np.float32))
+        m = model.masks(params, feats, fmask)
+        codes, feats, m = map(jax.device_put, (np.asarray(codes),
+                                               np.asarray(feats),
+                                               np.asarray(m)))
+        aux = jax.device_put(jax.tree_util.tree_map(np.asarray, aux))
+
+        timed(f"{shape_tag}_encode_ms",
+              lambda mm: model.front.encode(params["front"], mm)[0], mix)
+        timed(f"{shape_tag}_features_ms",
+              lambda cc: model.front.features(params["front"], cc), codes)
+        timed(f"{shape_tag}_trunk_ms",
+              lambda ff: model.trunk(params["separator"], ff, None), feats)
+        timed(f"{shape_tag}_trunk_fmask_ms",
+              lambda ff, fm: model.trunk(params["separator"], ff, fm),
+              feats, fmask)
+        timed(f"{shape_tag}_masks_ms",
+              lambda ff: model.masks(params, ff, None), feats)
+        timed(f"{shape_tag}_decode_ms",
+              lambda cc, mm_: model.apply_masks_and_decode(
+                  params, cc, aux, mm_, t), codes, m)
+        timed(f"{shape_tag}_full_ms",
+              lambda mm: model.separate(params, mm), mix)
+        timed(f"{shape_tag}_full_fmask_ms",
+              lambda mm, fm: model.separate(params, mm, frame_mask=fm),
+              mix, fmask)
+        log_result(dict(out))
+    log_result(out)
+
+
+def stage_flagship3():
+    """`flagship3 [steps] [decay]` — exp4 on the proven 500-spk corpus, long
+    schedule + parameter EMA; the measured trajectory (flagship2b 48k read
+    9.99 [9.71, 10.27] n=200) needs ~+0.3 dB for an unambiguous CI floor."""
+    i = sys.argv.index("flagship3")
+    steps = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 else 96000
+    decay = float(sys.argv[i + 2]) if len(sys.argv) > i + 2 else 0.999
+    r = sized(c6_recipe(), steps, expansion=4)
+    r = dc.replace(r, train=dc.replace(r.train, ema_decay=decay))
+    tr, state, secs = train(r, V2MAX, workdir="runs_r4")
+    for tag, p in (("raw", state["params"]), ("ema", state["ema_params"])):
+        out = blind_eval(tr.model, p, V2, n=200)
+        out.update(stage=f"flagship3_exp4_max_{steps // 1000}k_{tag}",
+                   steps=steps, train_seconds=secs, run_dir=tr.dir)
+        log_result(out)
+
+
+def c6_recipe():
+    from amss_tpu.configs.recipes import c6_tasnet
+
+    return c6_tasnet()
+
+
+STAGES = {
+    "perf_probe": stage_perf_probe,
+    "serve_bisect": stage_serve_bisect,
+    "flagship3": stage_flagship3,
+}
+
+
+if __name__ == "__main__":
+    ensure_corpora()
+    matched = 0
+    for arg in sys.argv[1:]:
+        if arg in STAGES:
+            STAGES[arg]()
+            matched += 1
+    if sys.argv[1:] and not matched:
+        raise SystemExit(f"no stage matched in {sys.argv[1:]!r} "
+                         f"(known: {sorted(STAGES)})")
+    print("R4 WAVE DONE", flush=True)

@@ -60,7 +60,7 @@ def test_wrap_semantics_short_shard(store):
     np.testing.assert_allclose(got, want, atol=1e-6)
 
 
-def test_train_step_parity_device_vs_host(store):
+def test_train_step_parity_device_vs_host(store, tmp_path):
     """Same (seed, step): the device-data step must see the same audio (to
     int16 quantization) and produce a near-identical loss."""
     import jax
@@ -84,7 +84,7 @@ def test_train_step_parity_device_vs_host(store):
 
     losses = {}
     for device in (False, True):
-        tr = Trainer(recipe(device), store, workdir="/tmp/devdata_runs")
+        tr = Trainer(recipe(device), store, workdir=str(tmp_path))
         st = tr.init_state()
         tr._build_step()
         hb = tr._draw("train", 0, 2)
@@ -95,7 +95,7 @@ def test_train_step_parity_device_vs_host(store):
     assert abs(losses[True] - losses[False]) < 1e-3, losses
 
 
-def test_corpus_is_jit_parameter_not_constant(store):
+def test_corpus_is_jit_parameter_not_constant(store, tmp_path):
     """Regression for the tunnel HTTP-413 failure: the HBM-resident corpus
     must enter the compiled train step as a PARAMETER.  A closure-captured
     device array is constant-folded into the lowered HLO, which bloats every
@@ -121,7 +121,7 @@ def test_corpus_is_jit_parameter_not_constant(store):
             valid_every=10**9, device_data=True,
         ),
     )
-    tr = Trainer(r, store, workdir="/tmp/devdata_runs")
+    tr = Trainer(r, store, workdir=str(tmp_path))
     st = tr.init_state()
     tr._build_step()
     batch = tr._device_batch(tr._draw("train", 0, 2))
@@ -141,7 +141,7 @@ def test_corpus_is_jit_parameter_not_constant(store):
     assert any("%arg" in l and "func.func" in l for l in corpus_lines), corpus_lines[:2]
 
 
-def test_413_fallback_to_host_input(store):
+def test_413_fallback_to_host_input(store, tmp_path):
     """If the tunnel rejects the device-data step's compile payload (HTTP 413
     at production corpus sizes), fit() must warn and fall back to the host
     int16-wire input path BEFORE any donated buffer is consumed — not die
@@ -165,7 +165,7 @@ def test_413_fallback_to_host_input(store):
             valid_every=10**9, device_data=True,
         ),
     )
-    tr = Trainer(r, store, workdir="/tmp/devdata_runs_413")
+    tr = Trainer(r, store, workdir=str(tmp_path))
 
     def fake_compile(state, batch0):
         raise jax.errors.JaxRuntimeError(
@@ -184,7 +184,7 @@ def test_413_fallback_to_host_input(store):
     ]
 
 
-def test_probe_reraises_other_errors(store):
+def test_probe_reraises_other_errors(store, tmp_path):
     """Non-413 compile failures must propagate unchanged."""
     import jax
 
@@ -203,7 +203,7 @@ def test_probe_reraises_other_errors(store):
             valid_every=10**9, device_data=True,
         ),
     )
-    tr = Trainer(r, store, workdir="/tmp/devdata_runs_413b")
+    tr = Trainer(r, store, workdir=str(tmp_path))
 
     def fake_compile(state, batch0):
         raise jax.errors.JaxRuntimeError("INTERNAL: some other failure")
