@@ -32,7 +32,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from amss_tpu.ops.framing import num_frames
+from amss_tpu.ops.framing import frame_signal, num_frames
 from amss_tpu.ops.stft import dft_matrices, hann_window
 
 FRAMES_BLK = 128  # frames per grid program (also the DMA column alignment)
@@ -139,15 +139,35 @@ def _fm_bwd(hop, interpret, res, g):
 _framed_matmul_ad.defvjp(_fm_fwd, _fm_bwd)
 
 
+def pallas_profitable(win: int, hop: int) -> bool:
+    """Shape gate: where the fused kernel actually beats XLA on the chip.
+
+    The kernel exists to kill the win/hop-fold frame-tensor expansion in HBM;
+    it wins at STFT-like shapes (win 256 / hop 64: 1.74x vs XLA, measured
+    round 2).  At short-filter shapes (TasNet front, win 32 / hop 16) the
+    fold is only 2x, each grid program DMAs a 16-row tile and feeds the MXU a
+    ~1 MFLOP dot — measured ~50x SLOWER than XLA's reshape+concat+matmul
+    (serve_bisect_r4 / front_ab rows in quality_results.jsonl: the encoder
+    was 58 ms of a 61 ms forward at b16 x 16384).  Gate on the fold factor
+    and the tile height."""
+    return win // hop >= 4 and hop >= 64
+
+
 def framed_matmul(
     x: jnp.ndarray,  # [B, T]
     basis: jnp.ndarray,  # [win, K]
     hop: int,
     interpret: bool = False,
+    force: bool = False,
 ) -> jnp.ndarray:
     """frames(x, win, hop) @ basis -> [B, NF, K], frames never touching HBM.
     Differentiable: the VJP reuses the fused decode+OLA kernel (adjoint pair).
-    """
+    Falls back to XLA framing+matmul at shapes where the kernel loses
+    (pallas_profitable); ``force=True`` keeps the kernel regardless (tests)."""
+    if not force and not pallas_profitable(basis.shape[0], hop):
+        frames = frame_signal(x, basis.shape[0], hop)
+        return jnp.matmul(frames, basis, preferred_element_type=jnp.float32,
+                          precision="highest")
     return _framed_matmul_ad(x, basis, hop, interpret)
 
 

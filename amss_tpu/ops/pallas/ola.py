@@ -152,12 +152,23 @@ def pallas_decode_ola(
     hop: int,
     length: int | None = None,
     interpret: bool = False,
+    force: bool = False,
 ) -> jnp.ndarray:
     """overlap_add(codes @ basis, hop) without materializing frames in HBM.
     Differentiable: the VJP reuses the fused framed_matmul kernel (adjoint pair).
 
     Requires win % hop == 0, hop % 8 == 0, hop <= 128, win//hop <= 9.
-    """
+    Falls back to XLA matmul+overlap_add at shapes where the fused kernel
+    loses (same gate as framed_matmul — the adjoint pair must dispatch
+    together or a short-filter front pays the kernel's small-tile penalty on
+    the backward pass); ``force=True`` keeps the kernel (tests)."""
+    from amss_tpu.ops.framing import overlap_add
+    from amss_tpu.ops.pallas.framed_matmul import pallas_profitable
+
+    if not force and not pallas_profitable(basis.shape[1], hop):
+        frames = jnp.matmul(codes, basis, preferred_element_type=jnp.float32,
+                            precision="highest")
+        return overlap_add(frames, hop, length=length)
     return _decode_ola_ad(codes, basis, hop, length, interpret)
 
 

@@ -26,7 +26,11 @@ def max_pool_argmax(x: jnp.ndarray, pool: int) -> tuple[jnp.ndarray, jnp.ndarray
         raise ValueError(f"time length {t} not divisible by pool {pool}")
     xr = x.reshape(*lead, t // pool, pool, n)
     idx = jnp.argmax(xr, axis=-2).astype(jnp.int32)  # first-max tie-break
-    vals = jnp.take_along_axis(xr, idx[..., None, :], axis=-2)[..., 0, :]
+    # Values via max, NOT take_along_axis: the value at the first argmax IS
+    # the max, and the gather lowers catastrophically on TPU (measured 55 ms
+    # of a 56 ms encoder at b16 x 16384 — encode_bisect_r4 in
+    # quality_results.jsonl; jnp.max is a plain VPU reduction).
+    vals = jnp.max(xr, axis=-2)
     return vals, idx
 
 

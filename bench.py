@@ -60,9 +60,12 @@ def _trained_or_init(ckpt_dir: str, fallback_recipe):
     return model, model.init(jax.random.PRNGKey(0)), False
 
 
-def _tunnel_roundtrip_ms(n: int = 10) -> float:
-    """Median wall time of a trivial dispatch + host fetch: the fixed
-    per-call cost every serving call pays through the axon tunnel."""
+def _tunnel_roundtrip_ms(n: int = 20) -> tuple[float, float, float]:
+    """(median, min, max) wall ms of a trivial dispatch + host fetch: the
+    fixed per-call cost every serving call pays through the axon tunnel.
+    The band matters: the sync realtime margin is one bad-RTT day wide
+    (VERDICT r3 weak 6), so the variance is recorded next to every number
+    derived from it."""
     import jax.numpy as jnp
 
     f = jax.jit(lambda x: x + 1.0)
@@ -73,7 +76,57 @@ def _tunnel_roundtrip_ms(n: int = 10) -> float:
         t0 = time.perf_counter()
         np.asarray(f(x))
         ts.append(time.perf_counter() - t0)
-    return 1000.0 * float(np.median(ts))
+    return (1000.0 * float(np.median(ts)), 1000.0 * float(np.min(ts)),
+            1000.0 * float(np.max(ts)))
+
+
+def _tunnel_bandwidth_mbps(rtt_s: float, nbytes: int = 1 << 23) -> tuple[float, float]:
+    """(h2d, d2h) MB/s at an 8 MB payload — the per-byte cost of the tunnel,
+    the second term of the serving-wall split (fixed rtt + bytes/bw +
+    device compute)."""
+    import jax.numpy as jnp
+
+    n = nbytes // 4
+    a = np.random.default_rng(0).standard_normal(n).astype(np.float32)
+    touch = jax.jit(lambda v: v[:4] * 1.0)
+    np.asarray(touch(jax.device_put(a)))  # compile
+
+    def med(fn, reps=4):
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn()
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    h2d = med(lambda: np.asarray(touch(jax.device_put(a))))
+    fill = jax.jit(lambda i: jnp.full((n,), i, jnp.float32))
+    k = [0]
+
+    def d2h():
+        k[0] += 1
+        np.asarray(fill(k[0]))
+
+    np.asarray(fill(-1))  # compile
+    dd = med(d2h)
+    return (nbytes / max(h2d - rtt_s, 1e-9) / 1e6,
+            nbytes / max(dd - rtt_s, 1e-9) / 1e6)
+
+
+def _device_ms_per_call(fn, args, reps: int = 6) -> float:
+    """Per-call DEVICE time of jit(fn)(*args): inputs device-resident, `reps`
+    calls dispatched back-to-back, ONE 4-float fetch at the end.  Pipelined
+    dispatch hides the tunnel's round trip AND its completion-poll latency —
+    a synchronous fetch per call reads ~1.2 s for a ~126 ms program
+    (quality_results.jsonl serve_bisect_r4 vs perf_probe_r4), which is how
+    rounds 1-3 booked poll latency as device compute."""
+    g = jax.jit(lambda *a: fn(*a).ravel()[:4] * 1.0)
+    np.asarray(g(*args))  # compile + first sync
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        r = g(*args)
+    np.asarray(r)
+    return 1000.0 * (time.perf_counter() - t0) / reps
 
 
 def _mix_pairs(n: int, t: int, seed0: int = 9000, s: int = 2):
@@ -92,9 +145,11 @@ def _mix_pairs(n: int, t: int, seed0: int = 9000, s: int = 2):
     return mixes, refs
 
 
-def _trained_quality(model, params, s: int, n: int = 16, qt: int = 16384) -> float:
-    """SI-SDRi of a trained model on the deterministic far-seed synthetic
-    S-mix test batch — one quality protocol shared by every checkpoint."""
+def _trained_quality(model, params, s: int, n: int = 64, qt: int = 16384):
+    """(SI-SDRi, [ci_lo, ci_hi]) of a trained model on the deterministic
+    far-seed synthetic S-mix test batch — one quality protocol shared by
+    every checkpoint.  n=64 with a bootstrap CI (r3's n=16 point estimate
+    had ~0.4 dB stderr — too noisy to guard a 10.0 dB line)."""
     from amss_tpu.infer.evaluate import evaluate_separation
     from amss_tpu.infer.streaming import BucketSpec, StreamingSeparator
 
@@ -104,9 +159,11 @@ def _trained_quality(model, params, s: int, n: int = 16, qt: int = 16384) -> flo
     )
     est = sep.separate_all(mixes, max_batch=8)
     q = evaluate_separation(
-        np.stack(est), np.stack(refs), np.stack(mixes), bss=False
+        np.stack(est), np.stack(refs), np.stack(mixes), bss=False, per_utt=True
     )
-    return round(q["si_sdri"], 3)
+    ci = q.get("si_sdri_ci") or {}
+    band = [round(ci["ci_lo"], 3), round(ci["ci_hi"], 3)] if ci else None
+    return round(q["si_sdri"], 3), band
 
 
 def _tunnel_preflight(timeout_s: float = 240.0) -> str | None:
@@ -198,13 +255,21 @@ def main():
         out["cpu_fallback"] = True
         out["platform"] = jax.devices()[0].platform
         out["tunnel_error"] = os.environ.get("AMSS_BENCH_TUNNEL_ERROR", "")[:200]
+    rtt_s = 0.0
     try:
         # In fallback mode this measures CPU dispatch latency, not the
-        # tunnel; record it under a different key so rtf_device_est (keyed
-        # off tunnel_roundtrip_ms) is never derived from a CPU-vs-CPU
-        # subtraction and cross-record comparisons stay apples-to-apples.
+        # tunnel; record it under a different key so device estimates are
+        # never derived from a CPU-vs-CPU subtraction and cross-record
+        # comparisons stay apples-to-apples.
         key = "dispatch_roundtrip_ms" if cpu_fallback else "tunnel_roundtrip_ms"
-        out[key] = round(_tunnel_roundtrip_ms(), 3)
+        med, mn, mx = _tunnel_roundtrip_ms()
+        out[key] = round(med, 3)
+        out[key + "_band"] = [round(mn, 2), round(mx, 2)]
+        rtt_s = med / 1000.0
+        if not cpu_fallback:
+            h2d, d2h = _tunnel_bandwidth_mbps(rtt_s)
+            out["tunnel_mbps_h2d"] = round(h2d, 1)
+            out["tunnel_mbps_d2h"] = round(d2h, 1)
     except Exception as e:
         out["tunnel_roundtrip_error"] = repr(e)[:120]
 
@@ -234,10 +299,37 @@ def main():
     rtf2 = sep.meter.rtf
     rtf = rtf2  # headline = the fully-warm steady-state pass
     out.update(rtf_pass1=round(rtf1, 6), rtf_pass2=round(rtf2, 6))
-    if "tunnel_roundtrip_ms" in out:  # device-only (on-host serving) estimate
-        out["rtf_device_est"] = round(
-            sep.meter.rtf_device_est(out["tunnel_roundtrip_ms"] / 1000.0), 6
+    # Three-way wall split (replaces r3's rtf_device_est, which subtracted
+    # only a tiny-buffer RTT and booked per-byte transfer + completion-poll
+    # latency as device compute — VERDICT r3 item 1a):
+    #   wall = device compute (measured pipelined, resident inputs)
+    #        + bytes/bandwidth (measured at 8 MB payloads)
+    #        + fixed round trips and one completion-poll sync.
+    try:
+        import jax.numpy as jnp
+
+        nf_h = model.cfg.front.frames_for(t)
+        dev_args = (
+            params,
+            jax.device_put(np.stack(waves[:batch])),
+            jax.device_put(np.ones((batch, nf_h), np.float32)),
         )
+        dev_ms = _device_ms_per_call(
+            lambda p, m, fm: model.separate(p, m, frame_mask=fm), dev_args
+        )
+        n_calls = n_utts // batch
+        audio_s = n_utts * seconds
+        out["headline_device_ms_per_call"] = round(dev_ms, 1)
+        out["rtf_device_meas"] = round(dev_ms / 1000.0 * n_calls / audio_s, 6)
+        if "tunnel_mbps_h2d" in out:
+            bytes_in = batch * t * 4
+            bytes_out = batch * 2 * t * 4
+            xfer_s = (bytes_in / (1e6 * out["tunnel_mbps_h2d"])
+                      + bytes_out / (1e6 * out["tunnel_mbps_d2h"]))
+            out["headline_transfer_ms_per_call"] = round(1000 * xfer_s, 1)
+            out["rtf_transfer_est"] = round(xfer_s * n_calls / audio_s, 6)
+    except Exception as e:
+        out["rtf_split_error"] = repr(e)[:120]
     target = 0.05
 
     # MFU accounting: FLOPs of the compiled separate program from XLA's cost
@@ -315,23 +407,38 @@ def main():
                 l, _ = model6.loss_from_batch(p, {"sources": sources})
                 return l
 
-            g = jax.jit(jax.value_and_grad(train_loss))
+            vag = jax.value_and_grad(train_loss)
             src = jnp.asarray(
                 np.random.default_rng(1)
                 .standard_normal((bt, 2, ct))
                 .astype(np.float32)
                 * 0.1
             )
-            lv, _ = g(params6, src)
+
+            # fit() methodology: state donated through a chained update, 20
+            # steps dispatched back-to-back, ONE fetch — this is what the
+            # training engine actually pays per step.  The r3 bench timed a
+            # non-donated value_and_grad with per-loop sync and read 893 ms
+            # for a step the engine runs in ~82 ms (completion-poll latency
+            # booked as compute; see _device_ms_per_call).
+            def stepB(p, s):
+                l, gr = vag(p, s)
+                newp = jax.tree_util.tree_map(
+                    lambda a, b: a - 1e-9 * b, p, gr
+                )
+                return newp, l
+
+            gB = jax.jit(stepB, donate_argnums=(0,))
+            p6 = jax.tree_util.tree_map(jnp.asarray, params6)
+            p6, lv = gB(p6, src)
             np.asarray(lv)  # compile + sync
             t0 = time.perf_counter()
-            for _ in range(10):
-                lv, _ = g(params6, src)
+            for _ in range(20):
+                p6, lv = gB(p6, src)
             np.asarray(lv)
-            dt = (time.perf_counter() - t0) / 10
-            f_tr = compiled_flops(
-                lambda p, s: jax.value_and_grad(train_loss)(p, s), params6, src
-            )
+            dt = (time.perf_counter() - t0) / 20
+            del p6
+            f_tr = compiled_flops(vag, params6, src)
             m_tr = mfu(f_tr, dt)
             out.update(
                 train_step_ms_b16=round(1000 * dt, 2),
@@ -342,8 +449,9 @@ def main():
             out["train_mfu_error"] = repr(e)[:120]
 
         if trained6:
-            out["flagship_si_sdri"] = _trained_quality(
-                model6, params6, s=2, n=4 if cpu_fallback else 16
+            out["flagship_si_sdri"], out["flagship_si_sdri_ci"] = (
+                _trained_quality(model6, params6, s=2,
+                                 n=4 if cpu_fallback else 64)
             )
     except Exception as e:
         out["tasnet_error"] = repr(e)[:160]
@@ -359,8 +467,9 @@ def main():
 
         model3, params3, trained3 = _trained_or_init("c6_3spk", _c6_3spk)
         if trained3:
-            out["flagship3spk_si_sdri"] = _trained_quality(
-                model3, params3, s=3, n=4 if cpu_fallback else 16
+            out["flagship3spk_si_sdri"], out["flagship3spk_si_sdri_ci"] = (
+                _trained_quality(model3, params3, s=3,
+                                 n=4 if cpu_fallback else 64)
             )
     except Exception as e:
         out["flagship3spk_error"] = repr(e)[:160]

@@ -340,10 +340,10 @@ def stage_serve_bisect():
         nf = model.cfg.front.frames_for(t)
         fmask = jax.device_put(np.ones((b, nf), np.float32))
         m = model.masks(params, feats, fmask)
-        codes, feats, m = map(jax.device_put, (np.asarray(codes),
-                                               np.asarray(feats),
-                                               np.asarray(m)))
-        aux = jax.device_put(jax.tree_util.tree_map(np.asarray, aux))
+        # codes/feats/m are already device arrays from the eager calls above;
+        # aux must stay as returned (its scalar leaves are Python values the
+        # decode path expects — an np.asarray round-trip makes them 0-d
+        # arrays and breaks aux_b's [:, None]).
 
         timed(f"{shape_tag}_encode_ms",
               lambda mm: model.front.encode(params["front"], mm)[0], mix)

@@ -13,7 +13,7 @@ def test_framed_matmul_matches_reference(rng):
     x = rng.standard_normal((2, 4000)).astype(np.float32)
     basis = rng.standard_normal((256, 64)).astype(np.float32)
     got = np.asarray(framed_matmul(jnp.asarray(x), jnp.asarray(basis), hop=64,
-                                   interpret=True))
+                                   interpret=True, force=True))
     want = np.asarray(
         jnp.matmul(frame_signal(jnp.asarray(x), 256, 64), jnp.asarray(basis))
     )
@@ -34,7 +34,7 @@ def test_decode_ola_matches_reference(rng):
     basis = rng.standard_normal((32, 128)).astype(np.float32)
     got = np.asarray(
         pallas_decode_ola(jnp.asarray(codes), jnp.asarray(basis), hop=32,
-                          interpret=True)
+                          interpret=True, force=True)
     )
     frames = jnp.matmul(jnp.asarray(codes), jnp.asarray(basis))
     want = np.asarray(overlap_add(frames, 32))
@@ -55,7 +55,7 @@ def test_framed_matmul_grads_match_jnp(rng):
     basis = jnp.asarray(rng.standard_normal((128, 32)), jnp.float32)
 
     def loss_pl(x, b):
-        return jnp.sum(framed_matmul(x, b, hop=32, interpret=True) ** 2)
+        return jnp.sum(framed_matmul(x, b, hop=32, interpret=True, force=True) ** 2)
 
     def loss_ref(x, b):
         return jnp.sum(jnp.matmul(frame_signal(x, 128, 32), b) ** 2)
@@ -73,7 +73,7 @@ def test_decode_ola_grads_match_jnp(rng):
     basis = jnp.asarray(rng.standard_normal((16, 128)), jnp.float32)
 
     def loss_pl(c, b):
-        return jnp.sum(pallas_decode_ola(c, b, hop=32, length=900, interpret=True) ** 2)
+        return jnp.sum(pallas_decode_ola(c, b, hop=32, length=900, interpret=True, force=True) ** 2)
 
     def loss_ref(c, b):
         return jnp.sum(overlap_add(jnp.matmul(c, b), 32, length=900) ** 2)
@@ -96,7 +96,8 @@ def test_framed_matmul_short_filters(rng):
     x = rng.standard_normal((2, 2048)).astype(np.float32)
     basis = rng.standard_normal((32, 64)).astype(np.float32)
     got = np.asarray(
-        framed_matmul(jnp.asarray(x), jnp.asarray(basis), hop=16, interpret=True)
+        framed_matmul(jnp.asarray(x), jnp.asarray(basis), hop=16, interpret=True,
+                      force=True)
     )
     want = np.asarray(frame_signal(jnp.asarray(x), 32, 16) @ jnp.asarray(basis))
     np.testing.assert_allclose(got, want, atol=2e-4)
@@ -114,7 +115,7 @@ def test_decode_ola_short_filters(rng):
     got = np.asarray(
         pallas_decode_ola(
             jnp.asarray(codes), jnp.asarray(basis), hop=16, length=2048,
-            interpret=True,
+            interpret=True, force=True,
         )
     )
     want = np.asarray(
@@ -132,8 +133,19 @@ def test_decode_ola_hop128_no_lane_pad():
     basis = rng.standard_normal((96, 256)).astype(np.float32)
     got = np.asarray(
         pallas_decode_ola(jnp.asarray(codes), jnp.asarray(basis), hop=128,
-                          interpret=True)
+                          interpret=True, force=True)
     )
     frames = codes @ basis
     want = np.asarray(overlap_add(jnp.asarray(frames), 128, length=got.shape[-1]))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_dispatch_gate_shapes():
+    """pallas_profitable: kernel at STFT shapes, XLA fallback at short-filter
+    shapes (serve_bisect_r4: the kernel was ~50x slower than XLA at the
+    TasNet front's win 32 / hop 16)."""
+    from amss_tpu.ops.pallas.framed_matmul import pallas_profitable
+
+    assert pallas_profitable(256, 64)        # STFT front
+    assert not pallas_profitable(32, 16)     # TasNet front
+    assert not pallas_profitable(256, 128)   # no-pool stride-128 front
