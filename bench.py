@@ -491,6 +491,27 @@ def main():
         out["realtime_push_ms"] = round(
             1000.0 * rt.compute_seconds / max(rt._timed_pushes, 1), 2
         )
+        # Device+dispatch-only per-push cost: chain 12 pushes on the device
+        # (state is donated and never leaves HBM), ONE fetch at the end.
+        # The gap between realtime_push_ms and this number is the tunnel's
+        # per-push round trip — the sync shape's floor is the RTT band, not
+        # compute, so the margin story must quote both.
+        rt.reset()
+        est = None
+        t0 = time.perf_counter()
+        for i in range(12):
+            est = rt._dispatch(waves[i % len(waves)][:8192], None)
+        np.asarray(est)
+        out["realtime_device_ms_per_push"] = round(
+            1000.0 * (time.perf_counter() - t0) / 12, 2
+        )
+        # 2 s chunks: same sync protocol at double the chunk — per-push cost
+        # is RTT-dominated, so RTF roughly halves; the documented knob when
+        # a deployment needs margin and can afford 2 s of added latency.
+        rt2 = RealtimeSeparator(model7, params7, chunk_samples=16384)
+        for i in range(8):
+            rt2.push(waves[i % len(waves)][:16384])
+        out["realtime_rtf_2s_chunks"] = round(rt2.rtf, 5)
         # single stream, pipelined (push k+1 dispatched before fetch k)
         rt.reset()
         rt.compute_seconds = 0.0

@@ -377,11 +377,36 @@ def stage_flagship3():
     decay = float(sys.argv[i + 2]) if len(sys.argv) > i + 2 else 0.999
     r = sized(c6_recipe(), steps, expansion=4)
     r = dc.replace(r, train=dc.replace(r.train, ema_decay=decay))
+    _train_and_eval_both(r, f"flagship3_exp4_max_{steps // 1000}k", steps)
+
+
+def stage_flagship3b():
+    """`flagship3b [steps] [decay]` — the short-filter upside arm: Conv-TasNet
+    measured L=16 beating L=32 by ~0.7 dB on WSJ0-2mix (Luo & Mesgarani 2019
+    table 1); halving filter_len/stride doubles trunk frames, affordable
+    after the r4 encoder fixes.  Same corpus/EMA protocol as flagship3."""
+    i = sys.argv.index("flagship3b")
+    steps = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 else 48000
+    decay = float(sys.argv[i + 2]) if len(sys.argv) > i + 2 else 0.999
+    r = sized(c6_recipe(), steps, expansion=4)
+    r = dc.replace(
+        r,
+        model=dc.replace(
+            r.model,
+            front=dc.replace(r.model.front, filter_len=16, stride=8)),
+        train=dc.replace(r.train, ema_decay=decay),
+    )
+    _train_and_eval_both(r, f"flagship3b_L16_max_{steps // 1000}k", steps)
+
+
+def _train_and_eval_both(r, name, steps):
     tr, state, secs = train(r, V2MAX, workdir="runs_r4")
     for tag, p in (("raw", state["params"]), ("ema", state["ema_params"])):
+        if p is None:
+            continue
         out = blind_eval(tr.model, p, V2, n=200)
-        out.update(stage=f"flagship3_exp4_max_{steps // 1000}k_{tag}",
-                   steps=steps, train_seconds=secs, run_dir=tr.dir)
+        out.update(stage=f"{name}_{tag}", steps=steps,
+                   train_seconds=secs, run_dir=tr.dir)
         log_result(out)
 
 
@@ -395,6 +420,7 @@ STAGES = {
     "perf_probe": stage_perf_probe,
     "serve_bisect": stage_serve_bisect,
     "flagship3": stage_flagship3,
+    "flagship3b": stage_flagship3b,
 }
 
 
