@@ -376,7 +376,11 @@ def stage_flagship3():
     steps = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 else 96000
     decay = float(sys.argv[i + 2]) if len(sys.argv) > i + 2 else 0.999
     r = sized(c6_recipe(), steps, expansion=4)
-    r = dc.replace(r, train=dc.replace(r.train, ema_decay=decay))
+    # device_data: post-fix the 27 ms device step is host-input-bound on the
+    # 1-vCPU host (measured 17-24 steps/s host path vs ~37 device cap);
+    # HBM-resident corpus moves mixing on-device (equal-trajectory tested).
+    r = dc.replace(r, train=dc.replace(r.train, ema_decay=decay,
+                                       device_data=True))
     _train_and_eval_both(r, f"flagship3_exp4_max_{steps // 1000}k", steps)
 
 
@@ -394,7 +398,7 @@ def stage_flagship3b():
         model=dc.replace(
             r.model,
             front=dc.replace(r.model.front, filter_len=16, stride=8)),
-        train=dc.replace(r.train, ema_decay=decay),
+        train=dc.replace(r.train, ema_decay=decay, device_data=True),
     )
     _train_and_eval_both(r, f"flagship3b_L16_max_{steps // 1000}k", steps)
 
