@@ -403,6 +403,23 @@ def stage_flagship3b():
     _train_and_eval_both(r, f"flagship3b_L16_max_{steps // 1000}k", steps)
 
 
+def stage_flagship3spk():
+    """`flagship3spk [steps] [decay]` — 3-speaker flagship refresh: the
+    committed checkpoints/c6_3spk is the r3 16k-step run (v2test3 +9.12
+    n=200); same exp4 arch at the r4 protocol (48k, EMA, HBM-resident
+    corpus) on the 500-spk corpus.  Evaluated on 3-mix test draws."""
+    i = sys.argv.index("flagship3spk")
+    steps = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 else 48000
+    decay = float(sys.argv[i + 2]) if len(sys.argv) > i + 2 else 0.999
+    r = sized(c6_recipe(), steps, expansion=4)
+    r = dc.replace(
+        r,
+        model=dc.replace(r.model, nb_speakers=3),
+        train=dc.replace(r.train, ema_decay=decay, device_data=True),
+    )
+    _train_and_eval_both(r, f"flagship3spk_exp4_max_{steps // 1000}k", steps)
+
+
 def _train_and_eval_both(r, name, steps):
     tr, state, secs = train(r, V2MAX, workdir="runs_r4")
     for tag, p in (("raw", state["params"]), ("ema", state["ema_params"])):
@@ -425,6 +442,7 @@ STAGES = {
     "serve_bisect": stage_serve_bisect,
     "flagship3": stage_flagship3,
     "flagship3b": stage_flagship3b,
+    "flagship3spk": stage_flagship3spk,
 }
 
 
