@@ -20,14 +20,18 @@ import flax.serialization as fser
 from amss_tpu.ckpt.checkpoint import _split_raw
 
 
-def export(run_dir: str, out_dir: str) -> None:
+def export(run_dir: str, out_dir: str, arm: str = "raw") -> None:
+    """arm: "raw" exports state["params"]; "ema" exports state["ema_params"]
+    (the weights load_model_from_run would serve from an EMA run — engine.py
+    load prefers ema_params when a checkpoint carries them)."""
     src = os.path.join(run_dir, "ckpt_best.msgpack")
     if not os.path.exists(src):
         src = os.path.join(run_dir, "ckpt_latest.msgpack")
     with open(src, "rb") as f:
         raw = fser.msgpack_restore(f.read())
     state, manifest = _split_raw(raw)
-    params = state["params"]
+    params = state["ema_params"] if arm == "ema" else state["params"]
+    manifest = dict(manifest, exported_arm=arm)
     os.makedirs(out_dir, exist_ok=True)
     blob = fser.to_bytes({"meta": manifest, "state": {"params": params}})
     with open(os.path.join(out_dir, "ckpt_best.msgpack"), "wb") as f:
@@ -42,4 +46,5 @@ def export(run_dir: str, out_dir: str) -> None:
 
 
 if __name__ == "__main__":
-    export(sys.argv[1], sys.argv[2])
+    export(sys.argv[1], sys.argv[2],
+           sys.argv[3] if len(sys.argv) > 3 else "raw")
