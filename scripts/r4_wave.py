@@ -403,6 +403,23 @@ def stage_flagship3b():
     _train_and_eval_both(r, f"flagship3b_L16_max_{steps // 1000}k", steps)
 
 
+def stage_c7refresh():
+    """`c7refresh [steps] [decay]` — causal flagship at the r4 protocol:
+    exp4 repeats=3 (the r3 c7v2 capacity), 500-spk corpus (the 2-mix
+    de-confound measured v2max > v2giant by ~0.5 dB at equal arch/steps),
+    48k schedule + EMA + HBM-resident corpus.  Committed c7_causal to beat:
+    8.54 [8.25, 8.82] (c7v2_exp4_giant_32k)."""
+    from amss_tpu.configs.recipes import c7_realtime
+
+    i = sys.argv.index("c7refresh")
+    steps = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 else 48000
+    decay = float(sys.argv[i + 2]) if len(sys.argv) > i + 2 else 0.999
+    r = sized(c7_realtime(), steps, expansion=4, repeats=3)
+    r = dc.replace(r, train=dc.replace(r.train, ema_decay=decay,
+                                       device_data=True))
+    _train_and_eval_both(r, f"c7refresh_exp4_max_{steps // 1000}k", steps)
+
+
 def stage_flagship3spk():
     """`flagship3spk [steps] [decay]` — 3-speaker flagship refresh: the
     committed checkpoints/c6_3spk is the r3 16k-step run (v2test3 +9.12
@@ -443,6 +460,7 @@ STAGES = {
     "flagship3": stage_flagship3,
     "flagship3b": stage_flagship3b,
     "flagship3spk": stage_flagship3spk,
+    "c7refresh": stage_c7refresh,
 }
 
 
