@@ -19,11 +19,20 @@ class Prefetcher:
     """Iterate device-resident batches with a lookahead of ``depth``."""
 
     def __init__(self, make_batch, put_batch, start_step: int, end_step: int,
-                 depth: int = 2):
-        """make_batch(step) -> host batch; put_batch(host) -> device batch."""
+                 depth: int = 2, stall_timeout: float = 900.0):
+        """make_batch(step) -> host batch; put_batch(host) -> device batch.
+
+        ``stall_timeout``: seconds __next__ waits before declaring the worker
+        stalled.  The axon tunnel can hang a single in-flight call forever
+        (NOTES_r3 "environment traps"; it ate the round-4 ema_ab stage for
+        17+ min at 0% CPU) — a worker stuck inside jax.device_put never
+        errors, so without a timeout the train loop blocks silently.  900 s
+        is ~wide enough for any real host batch + transfer; on expiry the
+        consumer gets a loud RuntimeError instead of a silent hang."""
         self._q: queue.Queue = queue.Queue(maxsize=depth)
         self._err = None
         self._closed = False
+        self._stall_timeout = stall_timeout
 
         def worker():
             try:
@@ -68,7 +77,14 @@ class Prefetcher:
         return self
 
     def __next__(self):
-        item = self._q.get()
+        try:
+            item = self._q.get(timeout=self._stall_timeout)
+        except queue.Empty:
+            raise RuntimeError(
+                f"prefetch worker produced nothing for {self._stall_timeout:g}s"
+                " — likely a hung device transfer (axon tunnel stall); kill"
+                " and resume the run (scripts/r3_wave.py resume <run_dir>)"
+            ) from None
         if item is None:
             if self._err is not None:
                 raise self._err

@@ -47,6 +47,24 @@ def test_prefetcher_empty_range():
     assert list(Prefetcher(lambda s: s, lambda h: h, 5, 5)) == []
 
 
+def test_prefetcher_stall_raises_instead_of_hanging():
+    """A worker stuck in a device transfer (hung tunnel call) must surface as
+    a loud error in the consumer, not a silent forever-block."""
+    import threading
+
+    ev = threading.Event()
+
+    def make(step):
+        ev.wait(30.0)  # simulates a device_put that never returns
+        return step
+
+    it = Prefetcher(make, lambda h: h, 0, 3, stall_timeout=0.3)
+    with pytest.raises(RuntimeError, match="tunnel stall"):
+        next(it)
+    ev.set()  # release the worker thread so the test process exits clean
+    it.close()
+
+
 def test_metric_writer_jsonl_and_lazy_dir(tmp_path):
     d = str(tmp_path / "run")
     w = MetricWriter(d)
