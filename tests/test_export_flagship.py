@@ -67,10 +67,13 @@ def test_export_default_is_raw(tmp_path):
 
 
 def test_committed_flagship_is_the_ema_arm():
-    """The repo's live claim: checkpoints/c6_flagship is the flagship3 EMA
-    arm (PARITY.md current-best row cites flagship3_exp4_max_96k_ema)."""
+    """The repo's live claim: checkpoints/c6_flagship is the flagship3b L16
+    EMA arm (PARITY.md current-best row cites flagship3b_L16_max_48k_ema)."""
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     path = os.path.join(repo, "checkpoints", "c6_flagship", "EXPORT.json")
     meta = json.load(open(path))
     assert meta.get("exported_arm") == "ema", meta
-    assert meta.get("step") == 96000, meta
+    assert meta.get("step") == 48000, meta
+    cfg = json.load(open(os.path.join(repo, "checkpoints", "c6_flagship",
+                                      "config.json")))
+    assert cfg["model"]["front"]["filter_len"] == 16, cfg["model"]["front"]
