@@ -1,0 +1,60 @@
+"""Integrity guard for the committed trained checkpoints (round-4 additions).
+
+checkpoints/ holds params-only exports that README/PARITY make live quality
+claims about (SURVEY.md §5.4 partial-restore row).  A stale or truncated
+export would silently break `bench.py`, `--num-speakers auto` out of the box,
+and the enrolled-L41 claim — so each new round-4 artifact must restore
+through the real loader and run its advertised inference path on CPU.
+"""
+
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load(name):
+    from amss_tpu.train.engine import load_model_from_run
+
+    run_dir = os.path.join(REPO, "checkpoints", name)
+    if not os.path.isdir(run_dir):
+        pytest.skip(f"{name} not committed")
+    return load_model_from_run(run_dir)
+
+
+def test_c1_count_loads_and_counts():
+    """The counting claim's artifact: a count-diverse DPCL whose eigengap
+    estimate is exercised end-to-end (value not asserted — synthetic sines
+    are out of distribution; accuracy is pinned by count_train_dpcl_12000_*
+    rows in quality_results.jsonl)."""
+    model, params = _load("c1_count")
+    cfg = json.load(open(os.path.join(REPO, "checkpoints", "c1_count",
+                                      "config.json")))
+    assert cfg["model"]["train_min_speakers"] == 1, cfg["model"]
+
+    from amss_tpu.infer.count import count_speakers
+
+    t = np.arange(16384, dtype=np.float32) / 8000.0
+    mix = np.stack([np.sin(2 * np.pi * 220.0 * t),
+                    np.sin(2 * np.pi * 347.0 * t) * 0.5]).sum(0)
+    k = count_speakers(model, params, jnp.asarray(mix[None]), k_max=4)
+    k = np.asarray(k)
+    assert k.shape == (1,) and k.dtype == np.int32
+    assert 1 <= int(k[0]) <= 4
+
+
+def test_c3_l41_loads_and_separates_enrolled():
+    """The enrolled-L41 claim's artifact: restore + the centroid-table
+    separate() path on a short mixture (speaker ids inside the trained
+    table)."""
+    model, params = _load("c3_l41")
+    mix = np.random.default_rng(0).standard_normal(16384).astype(np.float32)
+    est = model.separate(params, jnp.asarray(mix[None]),
+                         speaker_ids=jnp.asarray([[0, 1]]))
+    est = np.asarray(est)
+    assert est.shape == (1, 2, 16384)
+    assert np.isfinite(est).all()
