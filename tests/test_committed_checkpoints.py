@@ -47,6 +47,33 @@ def test_c1_count_loads_and_counts():
     assert 1 <= int(k[0]) <= 4
 
 
+def test_committed_flagship_exports_aot():
+    """The committed flagship must survive the AOT export path whatever its
+    current arch (the round-4 L16 short-filter swap changed every front
+    shape): export one bucket on CPU and require artifact == live to fp32
+    serving tolerance."""
+    import tempfile
+
+    import jax
+
+    model, params = _load("c6_flagship")
+    from amss_tpu.infer.export import ServingArtifact, export_serving
+
+    out = tempfile.mkdtemp(prefix="exp_flagship_")
+    export_serving(model, params, out, lengths=(16384,), batch=2,
+                   platforms=("cpu",), sample_rate=8000,
+                   recipe_dict={"kind": "test"})
+    art = ServingArtifact(out)
+    mixes = [np.random.default_rng(i).standard_normal(16384).astype(np.float32)
+             * 0.3 for i in range(2)]
+    ests = art.separate_all(mixes)
+    fm = jnp.ones((2, model.cfg.front.frames_for(16384)), jnp.float32)
+    live = np.asarray(model.separate(params, jnp.asarray(np.stack(mixes)),
+                                     frame_mask=fm))
+    err = max(float(np.max(np.abs(e - l))) for e, l in zip(ests, live))
+    assert err < 1e-3, err
+
+
 def test_c3_l41_loads_and_separates_enrolled():
     """The enrolled-L41 claim's artifact: restore + the centroid-table
     separate() path on a short mixture (speaker ids inside the trained
