@@ -74,6 +74,54 @@ def test_committed_flagship_exports_aot():
     assert err < 1e-3, err
 
 
+def test_c6_3spk_loads_and_separates_three():
+    """The 3-speaker flagship artifact behind the v2test3 claim: restore and
+    run the TasNet separate path at its advertised source count."""
+    model, params = _load("c6_3spk")
+    assert model.cfg.nb_speakers == 3
+    mix = np.random.default_rng(1).standard_normal(16384).astype(np.float32)
+    est = np.asarray(model.separate(params, jnp.asarray(mix[None])))
+    assert est.shape == (1, 3, 16384)
+    assert np.isfinite(est).all()
+
+
+def test_c7_causal_loads_and_separates():
+    """The causal/realtime artifact (README serving claims): restore + offline
+    forward; the streaming-equals-offline property itself is pinned by the
+    realtime tests on random weights."""
+    model, params = _load("c7_causal")
+    mix = np.random.default_rng(2).standard_normal(16384).astype(np.float32)
+    est = np.asarray(model.separate(params, jnp.asarray(mix[None])))
+    assert est.shape == (1, 2, 16384)
+    assert np.isfinite(est).all()
+
+
+def test_c1_dpcl_loads_and_kmeans_separates():
+    """The bench.py headline model: restore + the on-device k-means separate
+    path (the exact code path bench.py times)."""
+    model, params = _load("c1_dpcl")
+    mix = np.random.default_rng(3).standard_normal(16384).astype(np.float32)
+    est = np.asarray(model.separate(params, jnp.asarray(mix[None]),
+                                    kmeans_iters=4))
+    assert est.shape == (1, 2, 16384)
+    assert np.isfinite(est).all()
+
+
+def test_c2_adapt_loads_and_separates_via_adaptive_front():
+    """The adaptive-front artifact (SURVEY §2.2): its config must carry the
+    learned front (kind=adapt) and the full encode→embed→k-means→decode chain
+    must run from the committed params."""
+    model, params = _load("c2_adapt")
+    cfg = json.load(open(os.path.join(REPO, "checkpoints", "c2_adapt",
+                                      "config.json")))
+    assert cfg["model"]["front"]["kind"] == "adapt", cfg["model"]["front"]
+    mix = np.random.default_rng(4).standard_normal(16384).astype(np.float32)
+    est = np.asarray(model.separate(params, jnp.asarray(mix[None]),
+                                    kmeans_iters=4))
+    assert est.shape == (1, 2, 16384)
+    assert np.isfinite(est).all()
+
+
 def test_c3_l41_loads_and_separates_enrolled():
     """The enrolled-L41 claim's artifact: restore + the centroid-table
     separate() path on a short mixture (speaker ids inside the trained
