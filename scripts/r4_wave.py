@@ -437,6 +437,25 @@ def stage_flagship3spk():
     _train_and_eval_both(r, f"flagship3spk_exp4_max_{steps // 1000}k", steps)
 
 
+def stage_flagship3spk_l16():
+    """`flagship3spk_l16 [steps] [decay]` — the round-5 lever NOTES_r4 names:
+    the r4 flagship3spk refresh measured parity with c6_3spk at L32 while the
+    2-mix lift (9.99→11.49) came from the L16 short-filter front (flagship3b);
+    this arm applies that front to the 3-speaker protocol."""
+    i = sys.argv.index("flagship3spk_l16")
+    steps = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 else 48000
+    decay = float(sys.argv[i + 2]) if len(sys.argv) > i + 2 else 0.999
+    r = sized(c6_recipe(), steps, expansion=4)
+    r = dc.replace(
+        r,
+        model=dc.replace(
+            r.model, nb_speakers=3,
+            front=dc.replace(r.model.front, filter_len=16, stride=8)),
+        train=dc.replace(r.train, ema_decay=decay, device_data=True),
+    )
+    _train_and_eval_both(r, f"flagship3spk_L16_max_{steps // 1000}k", steps)
+
+
 def _train_and_eval_both(r, name, steps):
     tr, state, secs = train(r, V2MAX, workdir="runs_r4")
     for tag, p in (("raw", state["params"]), ("ema", state["ema_params"])):
@@ -460,6 +479,7 @@ STAGES = {
     "flagship3": stage_flagship3,
     "flagship3b": stage_flagship3b,
     "flagship3spk": stage_flagship3spk,
+    "flagship3spk_l16": stage_flagship3spk_l16,
     "c7refresh": stage_c7refresh,
 }
 
