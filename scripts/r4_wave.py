@@ -437,6 +437,27 @@ def stage_flagship3spk():
     _train_and_eval_both(r, f"flagship3spk_exp4_max_{steps // 1000}k", steps)
 
 
+def stage_dpt_flagship():
+    """`dpt_flagship [steps] [decay]` — the DPT trunk at the full r4 flagship
+    protocol: the 24k probe read 9.37 [8.97, 9.79] n=64 still scaling with
+    steps (`dpt_probe_24k_v2test`), unoptimized and without EMA / the L16
+    front / the HBM corpus.  This arm applies all three (the protocol that
+    took the TCN trunk 9.99→11.49) so the trunks compare at equal protocol."""
+    i = sys.argv.index("dpt_flagship")
+    steps = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 else 48000
+    decay = float(sys.argv[i + 2]) if len(sys.argv) > i + 2 else 0.999
+    r = sized(c6_recipe(), steps, trunk="dpt", hidden=192, blocks=6,
+              chunk_frames=32, heads=4, expansion=4, dropout=0.1)
+    r = dc.replace(
+        r,
+        model=dc.replace(
+            r.model,
+            front=dc.replace(r.model.front, filter_len=16, stride=8)),
+        train=dc.replace(r.train, ema_decay=decay, device_data=True),
+    )
+    _train_and_eval_both(r, f"dpt_flagship_L16_max_{steps // 1000}k", steps)
+
+
 def stage_flagship3spk_l16():
     """`flagship3spk_l16 [steps] [decay]` — the round-5 lever NOTES_r4 names:
     the r4 flagship3spk refresh measured parity with c6_3spk at L32 while the
@@ -480,6 +501,7 @@ STAGES = {
     "flagship3b": stage_flagship3b,
     "flagship3spk": stage_flagship3spk,
     "flagship3spk_l16": stage_flagship3spk_l16,
+    "dpt_flagship": stage_dpt_flagship,
     "c7refresh": stage_c7refresh,
 }
 
