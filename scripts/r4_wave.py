@@ -34,6 +34,7 @@ import numpy as np
 from r3_wave import (  # noqa: E402
     REPO,
     V2,
+    V2BIG,
     V2MAX,
     blind_eval,
     ensure_corpora,
@@ -477,6 +478,99 @@ def stage_flagship3spk_l16():
     _train_and_eval_both(r, f"flagship3spk_L16_max_{steps // 1000}k", steps)
 
 
+def stage_count_range():
+    """`count_range [steps]` — round-5 queue item 3: the committed c1_count
+    (count-diverse, trained k∈{1,2,3}) counts k=4 at only 0.41 zero-shot
+    (`count_k4_zeroshot_n32`) while in-range training was the measured fix
+    for k≤3 (`count_train_dpcl_12000_counting`: 0.98/1.00/0.84).  Retrain
+    with nb_speakers=4 / train_min_speakers=1 so the training distribution
+    covers the deployed range, then eval counting at ks=(1..4) with k_max=5
+    plus a k=5 zero-shot row and the fixed-k separation-quality checks."""
+    from r3_wave import count_accuracy, count_sep_eval_model
+
+    i = sys.argv.index("count_range")
+    steps = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 else 12000
+    from amss_tpu.configs.recipes import c1_stft_dpcl
+
+    r = sized(c1_stft_dpcl(), steps)
+    r = dc.replace(r, model=dc.replace(r.model, nb_speakers=4,
+                                       train_min_speakers=1))
+    tr, state, secs = train(r, V2MAX, workdir="runs_r4")
+    name = f"count_range_dpcl_{steps}"
+    out = blind_eval(tr.model, state["params"], V2MAX, n=64)
+    out.update(stage=f"{name}_maxtest4", steps=steps, train_seconds=secs,
+               run_dir=tr.dir)
+    log_result(out)
+    acc, confusion = count_accuracy(tr.model, state["params"], V2, 50,
+                                    ks=(1, 2, 3, 4), k_max=5)
+    log_result({"stage": f"{name}_counting", "accuracy": acc,
+                "confusion": confusion, "k_max": 5, "run_dir": tr.dir})
+    acc5, conf5 = count_accuracy(tr.model, state["params"], V2, 32,
+                                 ks=(5,), k_max=6)
+    log_result({"stage": f"{name}_k5_zeroshot", "accuracy": acc5,
+                "confusion": conf5, "k_max": 6, "run_dir": tr.dir,
+                "note": "k=5 is zero-shot: trained on k in {1..4}"})
+    out = count_sep_eval_model(tr.model, state["params"], 32)
+    out.update(stage=f"{name}_sep_eval", run_dir=tr.dir)
+    log_result(out)
+
+
+def stage_l41_l16():
+    """`l41_l16 [steps] [decay]` — round-5 queue item 5b: enrolled L41 with
+    the learned short-filter front.  `checkpoints/c3_l41` (13.18 enrolled)
+    still runs the r1-era STFT front (win 256 / hop 64) while the L16
+    adaptive front is what moved the blind flagship 9.99→11.49
+    (`flagship3b_L16_max_48k_ema`).  Same protocol as r3's c3_modern
+    (V2BIG 100-spk corpus, enrolled n=200 eval at unseen offsets with
+    bootstrap CIs, blind k-means eval) plus parameter EMA; raw and ema arms
+    both evaluated."""
+    import jax
+    import jax.numpy as jnp
+
+    from amss_tpu.configs.recipes import c3_l41
+    from amss_tpu.data.store import SpeakerStore
+    from amss_tpu.infer.evaluate import evaluate_separation
+    from amss_tpu.utils.config import FrontConfig
+
+    i = sys.argv.index("l41_l16")
+    steps = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 else 10000
+    decay = float(sys.argv[i + 2]) if len(sys.argv) > i + 2 else 0.999
+    store = SpeakerStore(V2BIG)
+    r = sized(c3_l41(n_train_speakers=len(store.speakers)), steps)
+    r = dc.replace(
+        r,
+        model=dc.replace(
+            r.model,
+            front=FrontConfig(kind="adapt", n_filters=256, filter_len=16,
+                              stride=8, pool=1)),
+        train=dc.replace(r.train, ema_decay=decay),
+    )
+    tr, state, secs = train(r, V2BIG, workdir="runs_r4")
+
+    n = 200
+    mixes, refs, sids = [], [], []
+    for j in range(n):
+        hb = tr.mixer.batch("train", 10_000_000 + j, 1)
+        refs.append(hb.sources[0])
+        mixes.append(hb.sources[0].sum(0))
+        sids.append(hb.speaker_ids[0])
+    fn = jax.jit(lambda p, m, s: tr.model.separate(p, m, speaker_ids=s))
+    for tag, p in (("raw", state["params"]), ("ema", state["ema_params"])):
+        if p is None:
+            continue
+        est = np.asarray(fn(p, jnp.asarray(np.stack(mixes)),
+                            jnp.asarray(np.stack(sids))))
+        out = evaluate_separation(est, np.stack(refs), np.stack(mixes),
+                                  per_utt=True)
+        out.update(stage=f"l41_l16_{steps // 1000}k_enrolled_{tag}",
+                   steps=steps, train_seconds=secs, run_dir=tr.dir)
+        log_result(out)
+        outb = blind_eval(tr.model, p, V2BIG, n=64)
+        outb.update(stage=f"l41_l16_{steps // 1000}k_blind_{tag}",
+                    steps=steps, run_dir=tr.dir)
+        log_result(outb)
+
+
 def _train_and_eval_both(r, name, steps):
     tr, state, secs = train(r, V2MAX, workdir="runs_r4")
     for tag, p in (("raw", state["params"]), ("ema", state["ema_params"])):
@@ -503,6 +597,8 @@ STAGES = {
     "flagship3spk_l16": stage_flagship3spk_l16,
     "dpt_flagship": stage_dpt_flagship,
     "c7refresh": stage_c7refresh,
+    "count_range": stage_count_range,
+    "l41_l16": stage_l41_l16,
 }
 
 
