@@ -571,6 +571,28 @@ def stage_l41_l16():
         log_result(outb)
 
 
+def stage_bf16_ab2():
+    """`bf16_ab2 [steps]` — bf16 QUALITY A/B at the flagship protocol: the
+    round-2 `bf16_ab` rows measured train speed only (623→435 s, 1.43×)
+    with no quality number, so bf16 compute cannot honestly be recommended
+    as the training default.  Two arms at equal steps/protocol (L16 front,
+    EMA 0.999, HBM corpus): sep.compute_dtype float32 vs bfloat16 (params
+    and optimizer state stay f32 — `base.py::_compute_dtype` mixed
+    precision); raw+ema n=200 bootstrap evals each, train_seconds logged."""
+    i = sys.argv.index("bf16_ab2")
+    steps = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 else 12000
+    for dt in ("float32", "bfloat16"):
+        r = sized(c6_recipe(), steps, expansion=4, compute_dtype=dt)
+        r = dc.replace(
+            r,
+            model=dc.replace(
+                r.model,
+                front=dc.replace(r.model.front, filter_len=16, stride=8)),
+            train=dc.replace(r.train, ema_decay=0.999, device_data=True),
+        )
+        _train_and_eval_both(r, f"bf16_ab2_{dt}_{steps // 1000}k", steps)
+
+
 def _train_and_eval_both(r, name, steps):
     tr, state, secs = train(r, V2MAX, workdir="runs_r4")
     for tag, p in (("raw", state["params"]), ("ema", state["ema_params"])):
@@ -599,6 +621,7 @@ STAGES = {
     "c7refresh": stage_c7refresh,
     "count_range": stage_count_range,
     "l41_l16": stage_l41_l16,
+    "bf16_ab2": stage_bf16_ab2,
 }
 
 
