@@ -593,6 +593,46 @@ def stage_bf16_ab2():
         _train_and_eval_both(r, f"bf16_ab2_{dt}_{steps // 1000}k", steps)
 
 
+def stage_flagship3c():
+    """`flagship3c [filter_len] [steps] [decay]` — short-filter scaling arm:
+    flagship3b measured L=16 beating L=32 by ~0.45 dB at half the steps
+    (`flagship3b_L16_max_48k_ema` 11.49 vs `flagship3_exp4_max_96k_ema`
+    11.04), replicating the Luo & Mesgarani 2019 direction where quality
+    kept rising down to ~2.5 ms filters.  This arm continues the sweep one
+    octave down (default L=8 / stride 4 — 1 ms at 8 kHz), doubling trunk
+    frames again.  Same protocol as flagship3b."""
+    i = sys.argv.index("flagship3c")
+    flen = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 else 8
+    steps = int(sys.argv[i + 2]) if len(sys.argv) > i + 2 else 48000
+    decay = float(sys.argv[i + 3]) if len(sys.argv) > i + 3 else 0.999
+    r = sized(c6_recipe(), steps, expansion=4)
+    r = dc.replace(
+        r,
+        model=dc.replace(
+            r.model,
+            front=dc.replace(r.model.front, filter_len=flen,
+                             stride=flen // 2)),
+        train=dc.replace(r.train, ema_decay=decay, device_data=True),
+    )
+    _train_and_eval_both(r, f"flagship3c_L{flen}_max_{steps // 1000}k", steps)
+
+
+def stage_dpt_default():
+    """`dpt_default [steps] [decay]` — de-confound the dpt_flagship negative:
+    that arm changed trunk AND front together (L16) and scored 8.76, below
+    its own default-front 24k probe (9.37).  This arm keeps the DPT trunk
+    identical but runs the recipe's DEFAULT front (L32/stride 16), isolating
+    trunk-vs-trunk at the flagship protocol (48k + EMA + HBM corpus)."""
+    i = sys.argv.index("dpt_default")
+    steps = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 else 48000
+    decay = float(sys.argv[i + 2]) if len(sys.argv) > i + 2 else 0.999
+    r = sized(c6_recipe(), steps, trunk="dpt", hidden=192, blocks=6,
+              chunk_frames=32, heads=4, expansion=4, dropout=0.1)
+    r = dc.replace(r, train=dc.replace(r.train, ema_decay=decay,
+                                       device_data=True))
+    _train_and_eval_both(r, f"dpt_default_L32_max_{steps // 1000}k", steps)
+
+
 def _train_and_eval_both(r, name, steps):
     tr, state, secs = train(r, V2MAX, workdir="runs_r4")
     for tag, p in (("raw", state["params"]), ("ema", state["ema_params"])):
@@ -622,6 +662,8 @@ STAGES = {
     "count_range": stage_count_range,
     "l41_l16": stage_l41_l16,
     "bf16_ab2": stage_bf16_ab2,
+    "flagship3c": stage_flagship3c,
+    "dpt_default": stage_dpt_default,
 }
 
 
