@@ -650,6 +650,47 @@ def c6_recipe():
     return c6_tasnet()
 
 
+def stage_stoi_l41():
+    """`stoi_l41 [n]` — STOI intelligibility for the committed enrolled-L41
+    checkpoint, completing the committed-checkpoint STOI table (c6_flagship /
+    c6_3spk / c7_causal rows landed earlier in r4; c3_l41 was missing).
+    Reproduces the c3_modern enrolled protocol exactly (train-split speakers
+    at unseen offsets, Mixer step 10M+i) so the SI-SDRi column cross-checks
+    the chip row (13.18).  CPU-safe: run with AMSS_WAVE_CPU=1."""
+    import jax
+    import jax.numpy as jnp
+
+    from amss_tpu.data.mixer import Mixer
+    from amss_tpu.data.store import SpeakerStore
+    from amss_tpu.infer.evaluate import evaluate_separation
+    from amss_tpu.train.engine import load_model_from_run
+
+    i = sys.argv.index("stoi_l41")
+    n = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 else 200
+    run_dir = os.path.join(REPO, "checkpoints", "c3_l41")
+    model, params = load_model_from_run(run_dir)
+    with open(os.path.join(run_dir, "config.json")) as f:
+        tcfg = json.load(f)["train"]
+    mixer = Mixer(SpeakerStore(V2BIG), nb_speakers=model.cfg.nb_speakers,
+                  chunk_samples=tcfg["chunk_samples"], seed=tcfg["seed"])
+    mixes, refs, sids = [], [], []
+    for k in range(n):
+        hb = mixer.batch("train", 10_000_000 + k, 1)
+        refs.append(hb.sources[0])
+        mixes.append(hb.sources[0].sum(0))
+        sids.append(hb.speaker_ids[0])
+    fn = jax.jit(lambda p, m, s: model.separate(p, m, speaker_ids=s))
+    est = []
+    for lo in range(0, n, 50):  # batch groups: CPU-friendly, batch-independent
+        est.append(np.asarray(fn(
+            params, jnp.asarray(np.stack(mixes[lo:lo + 50])),
+            jnp.asarray(np.stack(sids[lo:lo + 50])))))
+    out = evaluate_separation(np.concatenate(est), np.stack(refs),
+                              np.stack(mixes), per_utt=True, with_stoi=True)
+    out.update(stage=f"stoi_c3_l41_n{n}", run_dir=run_dir)
+    log_result(out)
+
+
 STAGES = {
     "perf_probe": stage_perf_probe,
     "serve_bisect": stage_serve_bisect,
@@ -664,6 +705,7 @@ STAGES = {
     "bf16_ab2": stage_bf16_ab2,
     "flagship3c": stage_flagship3c,
     "dpt_default": stage_dpt_default,
+    "stoi_l41": stage_stoi_l41,
 }
 
 
