@@ -650,6 +650,46 @@ def c6_recipe():
     return c6_tasnet()
 
 
+def stage_flagship3spk_cap():
+    """`flagship3spk_cap [expansion] [steps] [decay]` — 3-mix CAPACITY arm:
+    the 3-speaker flagship is flat in steps (16k≈24k≈48k all ~9.1) and the
+    L16 front is negative there, but capacity has never been pushed past
+    exp4 on 3-mix (exp4 'giant' was the last lift, 8.91→9.12).  This arm
+    widens the TCN (default expansion 6) at the r4 protocol, L32 front."""
+    i = sys.argv.index("flagship3spk_cap")
+    exp = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 else 6
+    steps = int(sys.argv[i + 2]) if len(sys.argv) > i + 2 else 24000
+    decay = float(sys.argv[i + 3]) if len(sys.argv) > i + 3 else 0.999
+    r = sized(c6_recipe(), steps, expansion=exp)
+    r = dc.replace(
+        r,
+        model=dc.replace(r.model, nb_speakers=3),
+        train=dc.replace(r.train, ema_decay=decay, device_data=True),
+    )
+    _train_and_eval_both(r, f"flagship3spk_exp{exp}_max_{steps // 1000}k",
+                         steps)
+
+
+def stage_flagship_bf16():
+    """`flagship_bf16 [steps] [decay]` — stack the measured positives: the
+    L16 flagship protocol with bfloat16 compute (bf16_ab2 measured bf16
+    paired +0.05 dB AND 1.09x faster steady-state, so a longer horizon fits
+    the same wall clock).  Candidate c6_flagship replacement if it beats
+    11.49."""
+    i = sys.argv.index("flagship_bf16")
+    steps = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 else 96000
+    decay = float(sys.argv[i + 2]) if len(sys.argv) > i + 2 else 0.999
+    r = sized(c6_recipe(), steps, expansion=4, compute_dtype="bfloat16")
+    r = dc.replace(
+        r,
+        model=dc.replace(
+            r.model,
+            front=dc.replace(r.model.front, filter_len=16, stride=8)),
+        train=dc.replace(r.train, ema_decay=decay, device_data=True),
+    )
+    _train_and_eval_both(r, f"flagship_bf16_L16_max_{steps // 1000}k", steps)
+
+
 def stage_stoi_l41():
     """`stoi_l41 [n]` — STOI intelligibility for the committed enrolled-L41
     checkpoint, completing the committed-checkpoint STOI table (c6_flagship /
@@ -706,6 +746,8 @@ STAGES = {
     "flagship3c": stage_flagship3c,
     "dpt_default": stage_dpt_default,
     "stoi_l41": stage_stoi_l41,
+    "flagship3spk_cap": stage_flagship3spk_cap,
+    "flagship_bf16": stage_flagship_bf16,
 }
 
 
