@@ -161,6 +161,7 @@ class SeparatorBase:
             remat=self.cfg.sep.remat,
             dropout_rate=self.cfg.sep.dropout,
             rng=rng,
+            unroll=self.cfg.sep.scan_unroll,
         )  # [B, T', 2H]
 
     # -- shared pipeline pieces ----------------------------------------------

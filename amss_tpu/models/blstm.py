@@ -79,6 +79,7 @@ def _bilstm_fused_scan(
     x: jnp.ndarray,  # [B, T, In]
     mask: jnp.ndarray | None,
     compute_dtype=jnp.float32,
+    unroll: int = 1,
 ) -> jnp.ndarray:
     """Both directions in ONE lax.scan: direction is a leading batch axis of a
     batched matmul, so each sequential step runs a single fused
@@ -140,7 +141,11 @@ def _bilstm_fused_scan(
         jnp.zeros((2, b, hidden), jnp.float32),
         jnp.zeros((2, b, hidden), jnp.float32),
     )
-    _, out_t = jax.lax.scan(step, init, xs)  # [T, 2, B, H]
+    # `unroll` amortizes the per-step loop overhead that dominates BLSTM
+    # serving time on TPU (the step's [2,B,H]x[2,H,4H] dot is tiny next to
+    # the sequential-step latency — headline_bisect_r5).  Same math; XLA may
+    # fuse the unrolled block differently (~1e-8 differences at unroll>=4).
+    _, out_t = jax.lax.scan(step, init, xs, unroll=unroll)  # [T, 2, B, H]
     out = jnp.moveaxis(out_t, 0, 2)  # [2, B, T, H]
     return jnp.concatenate([out[0], jnp.flip(out[1], axis=1)], axis=-1)
 
@@ -153,11 +158,13 @@ def blstm_stack(
     remat: bool = True,
     dropout_rate: float = 0.0,
     rng=None,  # None = deterministic (eval); dropout applies between layers
+    unroll: int = 1,
 ) -> jnp.ndarray:
     """Run the BLSTM stack -> [B, T, 2*hidden]."""
 
     def layer(params, h, r):
-        out = _bilstm_fused_scan(params, h, mask, compute_dtype=compute_dtype)
+        out = _bilstm_fused_scan(params, h, mask, compute_dtype=compute_dtype,
+                                 unroll=unroll)
         if r is not None and dropout_rate > 0.0:
             from amss_tpu.models.dprnn import dropout
 

@@ -76,6 +76,14 @@ class SeparatorConfig:
     # "channel" (per-filter over time — for learned fronts whose per-filter
     # scales are arbitrary)
     feature_norm: str = "global"
+    # blstm only: lax.scan unroll factor for the recurrence.  The BLSTM's
+    # serving cost on TPU is sequential-step LATENCY, not FLOPs
+    # (headline_bisect_r5); unrolling amortizes the per-step loop overhead.
+    # Same math but NOT bit-exact (XLA fuses the unrolled block differently —
+    # measured ~3e-8 at unroll>=4), so unlike steps_per_call a non-default
+    # value DOES fork the run id; it is primarily a serving-time knob
+    # (dc.replace the restored config — checkpointed params are unaffected).
+    scan_unroll: int = 1
 
 
 @dataclass(frozen=True)
@@ -232,6 +240,11 @@ def run_id_from_stored(d: dict) -> str:
     # execution-shape knob: identical per-step math at any value (the scan
     # body IS the single step), so it never forks the training trajectory
     tr.pop("steps_per_call", None)
+    # scan unroll: default-invariant only (unroll>=4 reorders fusions at the
+    # ~1e-8 level, which can fork a long training trajectory — keep non-default
+    # values in the hash; pre-growth configs stored no key at all)
+    if sep.get("scan_unroll", 1) == 1:
+        sep.pop("scan_unroll", None)
     mdl = d.get("model", {})
     if not mdl.get("train_noise_snr_db"):  # None = clean, pre-growth behavior
         mdl.pop("train_noise_snr_db", None)
