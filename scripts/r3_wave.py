@@ -34,6 +34,13 @@ if os.environ.get("AMSS_WAVE_CPU"):
 
 import numpy as np
 
+try:  # amortize multi-minute tunnel compiles across wave stages/processes
+    from amss_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+except Exception:
+    pass
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 RESULTS = os.path.join(REPO, "quality_results.jsonl")
 

@@ -343,10 +343,84 @@ def stage_mix3_decomp():
         log_result(row)
 
 
+def stage_mix3_warmstart():
+    """`mix3_warmstart [steps] [lr] [decay]` — 3-mix curriculum from the
+    2-mix champion (VERDICT r4 item 2c, the hypothesis-driven lever): init
+    the 3-speaker TasNet's front + trunk from a trained 2-mix checkpoint —
+    the mask head is S-dependent (feature_dim x nb_speakers) and stays
+    fresh — then train at the r4 protocol with a reduced peak lr so the
+    transferred weights aren't wiped by warmup.
+
+    Donor: the r3 L32 flagship2b-lineage champion (96k-step EMA arm, 11.04),
+    extracted from git history — the L16 front measured NEGATIVE on 3-mix
+    from scratch (`flagship3spk_L16_max_48k_*`), so the L32 champion is the
+    arch-matched donor for the committed L32 3-mix baseline."""
+    import subprocess
+
+    import jax
+    import jax.numpy as jnp
+
+    from amss_tpu.data.store import SpeakerStore
+    from amss_tpu.train.engine import Trainer, load_model_from_run
+    from r3_wave import V2MAX, blind_eval, sized
+
+    i = sys.argv.index("mix3_warmstart")
+    steps = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 else 24000
+    lr = float(sys.argv[i + 2]) if len(sys.argv) > i + 2 else 3e-4
+    decay = float(sys.argv[i + 3]) if len(sys.argv) > i + 3 else 0.999
+
+    donor_dir = "/tmp/l32_flagship_donor"
+    os.makedirs(donor_dir, exist_ok=True)
+    for fname in ("config.json", "ckpt_best.msgpack", "ckpt_best.msgpack.json",
+                  "EXPORT.json"):
+        r = subprocess.run(
+            ["git", "-C", REPO, "show",
+             f"4ff04f2:checkpoints/c6_flagship/{fname}"],
+            capture_output=True)
+        if r.returncode == 0:
+            with open(os.path.join(donor_dir, fname), "wb") as f:
+                f.write(r.stdout)
+    donor_model, donor_params = load_model_from_run(donor_dir)
+    assert donor_model.cfg.front.filter_len == 32  # the L32 arch donor
+
+    from amss_tpu.configs.recipes import c6_tasnet
+
+    r = sized(c6_tasnet(), steps, expansion=4)
+    r = dc.replace(
+        r,
+        model=dc.replace(r.model, nb_speakers=3),
+        train=dc.replace(r.train, ema_decay=decay, device_data=True, lr=lr),
+    )
+    tr = Trainer(r, SpeakerStore(V2MAX), workdir="runs_r5")
+    state = tr.init_state()
+    p = dict(state["params"])
+    p["front"] = donor_params["front"]
+    sep = dict(p["separator"])
+    for k, v in donor_params["separator"].items():
+        if k != "proj_mask":  # S-dependent head stays freshly initialized
+            sep[k] = v
+    p["separator"] = sep
+    state["params"] = p
+    if "ema_params" in state:
+        state["ema_params"] = jax.tree_util.tree_map(jnp.array, p)
+    t0 = time.time()
+    out_state = tr.fit(state)
+    secs = round(time.time() - t0, 1)
+    for tag, pp in (("raw", out_state["params"]),
+                    ("ema", out_state.get("ema_params"))):
+        if pp is None:
+            continue
+        out = blind_eval(tr.model, pp, V2, n=200)
+        out.update(stage=f"mix3_warmstart_{steps // 1000}k_lr{lr}_{tag}",
+                   steps=steps, train_seconds=secs, run_dir=tr.dir)
+        log_result(out)
+
+
 STAGES = {
     "headline_bisect": stage_headline_bisect,
     "rt_variance": stage_rt_variance,
     "mix3_decomp": stage_mix3_decomp,
+    "mix3_warmstart": stage_mix3_warmstart,
 }
 
 
