@@ -113,20 +113,31 @@ def _tunnel_bandwidth_mbps(rtt_s: float, nbytes: int = 1 << 23) -> tuple[float, 
             nbytes / max(dd - rtt_s, 1e-9) / 1e6)
 
 
-def _device_ms_per_call(fn, args, reps: int = 6) -> float:
-    """Per-call DEVICE time of jit(fn)(*args): inputs device-resident, `reps`
-    calls dispatched back-to-back, ONE 4-float fetch at the end.  Pipelined
-    dispatch hides the tunnel's round trip AND its completion-poll latency —
-    a synchronous fetch per call reads ~1.2 s for a ~126 ms program
-    (quality_results.jsonl serve_bisect_r4 vs perf_probe_r4), which is how
-    rounds 1-3 booked poll latency as device compute."""
+def _device_ms_per_call(fn, args, reps=(4, 24)) -> float:
+    """Per-call DEVICE time of jit(fn)(*args), slope method: inputs
+    device-resident, calls dispatched back-to-back, ONE 4-float fetch at the
+    end — then per-call time = (wall(hi reps) − wall(lo reps)) / (hi − lo),
+    each wall the min of two draws.  Pipelined dispatch hides the tunnel's
+    round trip, and the SLOPE cancels its completion-poll latency: a single
+    fetch can cost ~1.2 s regardless of queued work (serve_bisect_r4 vs
+    perf_probe_r4), so a one-window average at reps=6 books up to 200 ms/call
+    of poll as device compute — BENCH_r04's headline_device_ms_per_call read
+    625 ms where the round-5 bisect measured the same program at 16 ms
+    (quality_results.jsonl headline_bisect_r5)."""
     g = jax.jit(lambda *a: fn(*a).ravel()[:4] * 1.0)
     np.asarray(g(*args))  # compile + first sync
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        r = g(*args)
-    np.asarray(r)
-    return 1000.0 * (time.perf_counter() - t0) / reps
+
+    def wall(k: int) -> float:
+        t0 = time.perf_counter()
+        for _ in range(k):
+            r = g(*args)
+        np.asarray(r)
+        return time.perf_counter() - t0
+
+    lo, hi = reps
+    t_lo = min(wall(lo), wall(lo))
+    t_hi = min(wall(hi), wall(hi))
+    return max(0.0, 1000.0 * (t_hi - t_lo) / (hi - lo))
 
 
 def _mix_pairs(n: int, t: int, seed0: int = 9000, s: int = 2):
