@@ -55,7 +55,11 @@ def _arm(steps: int, dtype: str, decay: float = 0.999):
         model=dc.replace(
             r.model,
             front=dc.replace(r.model.front, filter_len=16, stride=8)),
-        train=dc.replace(r.train, ema_decay=decay, device_data=True),
+        # steps_per_call=20: hash-excluded execution knob (bit-exact with 1,
+        # tested) — 20x fewer tunnel calls, because tonight's tunnel hangs a
+        # call roughly hourly and each hang costs a watchdog window
+        train=dc.replace(r.train, ema_decay=decay, device_data=True,
+                         steps_per_call=20),
     )
 
 
@@ -101,13 +105,32 @@ def run_arm(name: str, recipe, steps: int, retries: int = 60):
     else:
         raise SystemExit(f"[{name}] retries exhausted")
     secs = round(time.time() - t0, 1)
-    for tag, p in (("raw", state["params"]), ("ema", state.get("ema_params"))):
-        if p is None:
-            continue
-        out = blind_eval(tr.model, p, V2, n=200)
-        out.update(stage=f"{name}_{tag}", steps=steps,
-                   train_seconds=secs, run_dir=tr.dir)
-        log_result(out)
+    # The n=200 evals are silent for 10-20 min; beat a file so the 15-min
+    # watchdog staleness window doesn't false-kill mid-eval.  (A device hang
+    # during eval would keep beating — acceptable: evals are re-runnable and
+    # the session polls manually.)
+    import threading
+
+    stop = threading.Event()
+
+    def _beat():
+        while not stop.is_set():
+            with open(os.path.join(WORKDIR, "eval_heartbeat"), "w") as f:
+                f.write(str(time.time()))
+            stop.wait(120)
+
+    threading.Thread(target=_beat, daemon=True).start()
+    try:
+        for tag, p in (("raw", state["params"]),
+                       ("ema", state.get("ema_params"))):
+            if p is None:
+                continue
+            out = blind_eval(tr.model, p, V2, n=200)
+            out.update(stage=f"{name}_{tag}", steps=steps,
+                       train_seconds=secs, run_dir=tr.dir)
+            log_result(out)
+    finally:
+        stop.set()
 
 
 if __name__ == "__main__":

@@ -17,11 +17,11 @@ while ! grep -q "R5 CHAIN DONE" runs_r5/chain.log 2>/dev/null; do
   LAUNCH=$(date +%s)
   while kill -0 "$PID" 2>/dev/null; do
     sleep 120
-    FRESH=$(find runs_r5 -name metrics.jsonl -mmin -30 2>/dev/null)
-    LOGFRESH=$(find runs_r5 -maxdepth 1 -name chain.log -mmin -30 2>/dev/null)
+    FRESH=$(find runs_r5 \( -name metrics.jsonl -o -name eval_heartbeat \) -mmin -15 2>/dev/null)
+    LOGFRESH=$(find runs_r5 -maxdepth 1 -name chain.log -mmin -15 2>/dev/null)
     AGE=$(( $(date +%s) - LAUNCH ))
-    if [ -z "$FRESH" ] && [ -z "$LOGFRESH" ] && [ "$AGE" -gt 2100 ]; then
-      echo "WATCHDOG: silent hang (no progress 30 min), killing $PID" \
+    if [ -z "$FRESH" ] && [ -z "$LOGFRESH" ] && [ "$AGE" -gt 900 ]; then
+      echo "WATCHDOG: silent hang (no progress 15 min), killing $PID" \
         >> runs_r5/chain.log
       kill -9 "$PID" 2>/dev/null
       sleep 5
