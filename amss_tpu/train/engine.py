@@ -524,7 +524,9 @@ class Trainer:
             state.get("ema_params")
             or jax.tree_util.tree_map(jnp.array, params)
         ) if ema_on else None
-        start = state["step"]
+        # restored checkpoints hold step as a read-only 0-d array (msgpack
+        # buffer-backed); plain int keeps later `step += k` off that buffer
+        start = int(state["step"])
         t0 = time.time()
         from amss_tpu.data.prefetch import Prefetcher
 
@@ -614,7 +616,9 @@ class Trainer:
             state.get("ema_params")
             or jax.tree_util.tree_map(jnp.array, params)
         ) if ema_on else None
-        start = state["step"]
+        # restored checkpoints hold step as a read-only 0-d array (msgpack
+        # buffer-backed); plain int keeps later `step += k` off that buffer
+        start = int(state["step"])
         n_proc = jax.process_count()
         if r.batch_size % n_proc != 0:
             raise ValueError(

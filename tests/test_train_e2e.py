@@ -265,3 +265,39 @@ def test_steps_per_call_device_data(tmp_path):
                     jax.tree_util.tree_leaves(outs[3]["params"])):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                    rtol=2e-5, atol=2e-6)
+
+
+def test_steps_per_call_resume_from_restored_ckpt(tmp_path):
+    """Resume through tr.restore() must work at steps_per_call > 1.
+
+    Regression: msgpack-restored checkpoints hold `step` as a read-only 0-d
+    numpy array; `_fit_multi`'s `step += k` mutated it in place and raised
+    `ValueError: output array is read-only` (found live in round 5 when the
+    96k chain switched to K=20 and restored after a tunnel hang).  The
+    resumed trajectory must also match an uninterrupted run."""
+    store = make_synthetic_corpus(str(tmp_path / "corpus"), n_speakers=12,
+                                  seconds_per_speaker=2.0)
+
+    def recipe(steps, K):
+        r = _tiny(steps=steps)
+        return dataclasses.replace(
+            r, train=dataclasses.replace(r.train, steps_per_call=K,
+                                         ema_decay=0.995))
+
+    # uninterrupted reference run, K=4, 12 steps
+    ref = Trainer(recipe(12, 4), store, workdir=str(tmp_path / "runs_ref"))
+    want = ref.fit()
+
+    # interrupted run: stop at 6 (valid boundary -> ckpt), restore, continue
+    tr = Trainer(recipe(6, 4), store, workdir=str(tmp_path / "runs_a"))
+    tr.fit()
+    tr2 = Trainer(recipe(12, 4), store, workdir=str(tmp_path / "runs_b"))
+    state = tr.restore()
+    assert state["step"] == 6
+    got = tr2.fit(state)  # raised before the fix
+    assert got["step"] == 12
+    for key in ("params", "ema_params"):
+        for x, y in zip(jax.tree_util.tree_leaves(want[key]),
+                        jax.tree_util.tree_leaves(got[key])):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=2e-5, atol=2e-6)
