@@ -50,8 +50,10 @@ def test_c1_count_loads_and_counts():
 def test_committed_flagship_exports_aot():
     """The committed flagship must survive the AOT export path whatever its
     current arch (the round-4 L16 short-filter swap changed every front
-    shape): export one bucket on CPU and require artifact == live to fp32
-    serving tolerance."""
+    shape; the round-5 flagship serves in bfloat16): export one bucket on
+    CPU and require artifact == live to the model's serving-dtype tolerance
+    (the export recompile can fuse bf16 ops differently, so bf16 parity is
+    ~1e-2 on unit-scale waveforms where f32 parity is ~1e-3)."""
     import tempfile
 
     import jax
@@ -71,7 +73,8 @@ def test_committed_flagship_exports_aot():
     live = np.asarray(model.separate(params, jnp.asarray(np.stack(mixes)),
                                      frame_mask=fm))
     err = max(float(np.max(np.abs(e - l))) for e, l in zip(ests, live))
-    assert err < 1e-3, err
+    tol = 1e-3 if model.cfg.sep.compute_dtype == "float32" else 3e-2
+    assert err < tol, (err, model.cfg.sep.compute_dtype)
 
 
 def test_c6_3spk_loads_and_separates_three():

@@ -67,13 +67,14 @@ def test_export_default_is_raw(tmp_path):
 
 
 def test_committed_flagship_is_the_ema_arm():
-    """The repo's live claim: checkpoints/c6_flagship is the flagship3b L16
-    EMA arm (PARITY.md current-best row cites flagship3b_L16_max_48k_ema)."""
+    """The repo's live claim: checkpoints/c6_flagship is the bf16 96k L16
+    EMA arm (PARITY.md current-best row cites flagship_bf16_L16_max_96k_ema,
+    promoted round 5: paired +2.18 [2.11, 2.25] over the 48k arm)."""
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     path = os.path.join(repo, "checkpoints", "c6_flagship", "EXPORT.json")
     meta = json.load(open(path))
     assert meta.get("exported_arm") == "ema", meta
-    assert meta.get("step") == 48000, meta
+    assert meta.get("step") == 96000, meta
     cfg = json.load(open(os.path.join(repo, "checkpoints", "c6_flagship",
                                       "config.json")))
     assert cfg["model"]["front"]["filter_len"] == 16, cfg["model"]["front"]
